@@ -1,0 +1,262 @@
+"""Batched incremental graph construction (insert / delete).
+
+TPU replacement for usearch's `add` / `remove` (reference:
+src/index/usearch.rs:174-249).  The CPU library inserts one vector at a
+time under a RwLock; here a whole block of M new vectors is grafted into
+the graph by one jitted functional step with donated buffers:
+
+  1. candidate generation — beam-search the *existing* graph (pool size
+     `ef_add`) plus an M×M brute-force block among the batch itself (which
+     also bootstraps the very first batches when the graph is empty);
+  2. robust prune (DiskANN-style α rule) selects ≤R diverse forward
+     neighbours per new node — a vectorised `lax.scan` over the sorted
+     candidate pool with the candidate-pairwise distances done as one
+     batched MXU matmul;
+  3. forward edges + cached edge lengths written with row scatters;
+  4. reverse edges applied in `G` collision-free rounds: edges are sorted
+     by target, ranked within each target run, and round r applies rank-r
+     edges — every round touches each target row at most once, so the
+     gather → degree-clamped-replace → scatter is race-free.  (The
+     reference gets this serialisation for free from its actor mailbox +
+     RwLock, src/index/usearch.rs:98,200.)
+
+Deletes are tombstones (valid=False): dead nodes keep routing traffic but
+are filtered from results, matching usearch's lazy remove semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import distance as dist_mod
+from .graph import GraphConfig, GraphState, gather_rows
+from .search import search_pool
+from .topk import INF, SENTINEL, topk_ascending
+
+# Reverse-edge collision rounds: edges ranked ≥ G per target are dropped
+# (rare; only when many same-batch nodes pick one hub neighbour).
+REVERSE_ROUNDS = 16
+
+
+def _pairwise_batched(vecs: jnp.ndarray, space: str) -> jnp.ndarray:
+    """[M, C, D] → per-node candidate-pairwise distances [M, C, C]."""
+    dots = jax.lax.dot_general(
+        vecs,
+        vecs,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if space == "dot":
+        return -dots
+    if space == "cosine":
+        return 1.0 - dots
+    sq = jnp.sum(jnp.square(vecs.astype(jnp.float32)), axis=-1)  # [M, C]
+    return sq[:, :, None] + sq[:, None, :] - 2.0 * dots
+
+
+def _robust_prune(
+    cand_dist: jnp.ndarray,  # [M, C] ascending-sorted query→candidate dists
+    cand_ids: jnp.ndarray,  # [M, C]
+    cand_vecs: jnp.ndarray,  # [M, C, D]
+    cfg: GraphConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Select ≤R diverse neighbours per node (α-RobustPrune).
+
+    Scanning candidates best-first: keep c unless some already-kept s has
+    α·d(s, c) ≤ d(q, c); stop at R kept.  Returns (dist[M, R], ids[M, R])
+    padded with (+inf, SENTINEL).
+    """
+    M, C = cand_dist.shape
+    R = cfg.degree
+    pd = _pairwise_batched(cand_vecs, cfg.space)  # [M, C, C]
+
+    def body(carry, t):
+        removed, kept, kept_cnt = carry
+        can_keep = (
+            ~removed[:, t]
+            & (cand_dist[:, t] < INF)
+            & (kept_cnt < R)
+        )  # [M]
+        kept = kept.at[:, t].set(can_keep)
+        kept_cnt = kept_cnt + can_keep.astype(jnp.int32)
+        # α rule: anything dominated by the newly kept candidate is removed.
+        dominated = cfg.prune_alpha * pd[:, t, :] <= cand_dist  # [M, C]
+        removed = removed | (can_keep[:, None] & dominated)
+        return (removed, kept, kept_cnt), None
+
+    init = (
+        jnp.zeros((M, C), dtype=bool),
+        jnp.zeros((M, C), dtype=bool),
+        jnp.zeros((M,), dtype=jnp.int32),
+    )
+    (_, kept, _), _ = jax.lax.scan(body, init, jnp.arange(C))
+
+    sel_dist = jnp.where(kept, cand_dist, INF)
+    sel_ids = jnp.where(kept, cand_ids, SENTINEL)
+    top_d, pos = topk_ascending(sel_dist, R)
+    top_i = jnp.take_along_axis(sel_ids, pos, axis=-1)
+    top_i = jnp.where(jnp.isinf(top_d), SENTINEL, top_i)
+    return top_d, top_i
+
+
+def _rank_in_run(sorted_keys: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each element within its run of equal keys (keys sorted)."""
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    return idx - run_start
+
+
+def _apply_reverse_edges(
+    neighbors: jnp.ndarray,  # [C, R]
+    nbr_dist: jnp.ndarray,  # [C, R]
+    tgt: jnp.ndarray,  # [E] edge targets (existing nodes)
+    src: jnp.ndarray,  # [E] edge sources (new nodes)
+    d: jnp.ndarray,  # [E] edge lengths
+    e_live: jnp.ndarray,  # [E] bool
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Degree-clamped reverse-edge insertion, race-free by round."""
+    C, R = neighbors.shape
+    # Sort edges by (target, length): within a target run, shorter (better)
+    # edges get lower ranks and therefore earlier rounds.
+    sort_tgt = jnp.where(e_live, tgt, SENTINEL)
+    tgt_s, d_s, src_s, live_s = jax.lax.sort(
+        (sort_tgt, d, src, e_live.astype(jnp.int32)), num_keys=2
+    )
+    rank = _rank_in_run(tgt_s)
+
+    def round_body(r, carry):
+        nbrs, ndist = carry
+        act = (live_s == 1) & (rank == r) & (tgt_s != SENTINEL)
+        t_safe = jnp.clip(tgt_s, 0, C - 1)
+        rows_n = jnp.take(nbrs, t_safe, axis=0)  # [E, R]
+        rows_d = jnp.take(ndist, t_safe, axis=0)
+        worst = jnp.argmax(rows_d, axis=-1)  # [E]
+        worst_d = jnp.take_along_axis(rows_d, worst[:, None], axis=-1)[:, 0]
+        better = act & (d_s < worst_d)
+        onehot = jax.nn.one_hot(worst, R, dtype=bool)  # [E, R]
+        upd = onehot & better[:, None]
+        new_n = jnp.where(upd, src_s[:, None], rows_n)
+        new_d = jnp.where(upd, d_s[:, None], rows_d)
+        t_scatter = jnp.where(act, tgt_s, C)  # OOB rows dropped
+        nbrs = nbrs.at[t_scatter].set(new_n, mode="drop")
+        ndist = ndist.at[t_scatter].set(new_d, mode="drop")
+        return nbrs, ndist
+
+    neighbors, nbr_dist = jax.lax.fori_loop(
+        0, REVERSE_ROUNDS, round_body, (neighbors, nbr_dist)
+    )
+    return neighbors, nbr_dist
+
+
+def insert_cfg(cfg: GraphConfig) -> GraphConfig:
+    """Search configuration used for insert-time candidate generation:
+    pool widened to ef_add (the reference's expansion_add role)."""
+    return dataclasses.replace(cfg, ef_search=cfg.ef_add)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def insert(
+    state: GraphState,
+    base_slot: jnp.ndarray,  # [] int32 — first of M contiguous fresh rows
+    vecs: jnp.ndarray,  # [M, D] raw new vectors
+    live: jnp.ndarray,  # [M] bool — padding lanes are False
+    cfg: GraphConfig,
+) -> GraphState:
+    """Graft a batch of new nodes into the graph.  Returns the new state.
+
+    The host allocates rows sequentially, so a batch always occupies the
+    contiguous block [base_slot, base_slot + M); base_slot ≥ frontier.
+    """
+    M = vecs.shape[0]
+    C = state.capacity
+    slots = base_slot + jnp.arange(M, dtype=jnp.int32)
+    vecs = dist_mod.preprocess(vecs.astype(jnp.float32), cfg.space).astype(
+        state.vectors.dtype
+    )
+
+    # --- 1. candidates from the existing graph (pre-batch state).
+    g_dist, g_ids = search_pool(state, vecs, insert_cfg(cfg))  # [M, P]
+
+    # --- batch-internal candidates (bootstraps the empty graph too).
+    b_dist = dist_mod.pairwise(vecs, vecs, cfg.space)  # [M, M]
+    eye = jnp.eye(M, dtype=bool)
+    b_mask = eye | ~live[None, :] | ~live[:, None]
+    b_dist = jnp.where(b_mask, INF, b_dist)
+    b_ids = jnp.where(b_mask, SENTINEL, jnp.broadcast_to(slots[None, :], (M, M)))
+
+    # Graph ids (< frontier) and batch slots (≥ frontier) are disjoint, so a
+    # plain concat needs no dedup.
+    cand_dist = jnp.concatenate([g_dist, b_dist], axis=-1)
+    cand_ids = jnp.concatenate([g_ids, b_ids], axis=-1)
+    pool = min(cfg.ef_add, cand_dist.shape[1])
+    cand_dist, pos = topk_ascending(cand_dist, pool)
+    cand_ids = jnp.take_along_axis(cand_ids, pos, axis=-1)
+
+    # --- 2. robust prune → forward edges.
+    # Candidate vectors: graph rows from storage, batch rows from `vecs`.
+    is_batch = cand_ids >= state.frontier
+    from_store, is_sent = gather_rows(state.vectors, cand_ids)
+    batch_pos = jnp.clip(cand_ids - base_slot, 0, M - 1)
+    from_batch = jnp.take(vecs, batch_pos, axis=0)  # [M, pool, D]
+    cand_vecs = jnp.where((is_batch & ~is_sent)[..., None], from_batch, from_store)
+    sel_d, sel_i = _robust_prune(cand_dist, cand_ids, cand_vecs, cfg)  # [M, R]
+
+    # --- 3. write rows (padding lanes scatter out of bounds → dropped).
+    w = jnp.where(live, slots, C)
+    vectors = state.vectors.at[w].set(vecs, mode="drop")
+    neighbors = state.neighbors.at[w].set(sel_i, mode="drop")
+    nbr_dist = state.nbr_dist.at[w].set(sel_d, mode="drop")
+    valid = state.valid.at[w].set(True, mode="drop")
+
+    # --- 4. reverse edges (only onto pre-existing graph rows; batch-internal
+    # reciprocity already emerges from both directions being candidates).
+    R = cfg.degree
+    tgt = sel_i.reshape(-1)
+    src = jnp.broadcast_to(slots[:, None], (M, R)).reshape(-1)
+    d = sel_d.reshape(-1)
+    e_live = (
+        jnp.broadcast_to(live[:, None], (M, R)).reshape(-1)
+        & (tgt != SENTINEL)
+        & (d < INF)
+        & (tgt < state.frontier)  # reverse edges into existing rows only
+    )
+    neighbors, nbr_dist = _apply_reverse_edges(
+        neighbors, nbr_dist, tgt, src, d, e_live
+    )
+
+    n_new = jnp.sum(live.astype(jnp.int32))
+    new_frontier = jnp.maximum(
+        state.frontier, jnp.max(jnp.where(live, slots + 1, 0))
+    )
+    return GraphState(
+        vectors=vectors,
+        neighbors=neighbors,
+        nbr_dist=nbr_dist,
+        valid=valid,
+        size=state.size + n_new,
+        frontier=new_frontier,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def delete(state: GraphState, slots: jnp.ndarray, live: jnp.ndarray) -> GraphState:
+    """Tombstone a batch of rows (reference remove: usearch.rs:235-249).
+
+    `slots` are rows to kill; padding lanes have live=False.  Rows stay
+    traversable until a rebuild/compaction reclaims them.
+    """
+    C = state.capacity
+    w = jnp.where(live, slots, C)
+    was = jnp.take(state.valid, jnp.clip(slots, 0, C - 1)) & live
+    valid = state.valid.at[w].set(False, mode="drop")
+    return state._replace(
+        valid=valid, size=state.size - jnp.sum(was.astype(jnp.int32))
+    )

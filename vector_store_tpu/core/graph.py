@@ -1,0 +1,164 @@
+"""Device-resident ANN graph index — state and lifecycle.
+
+This is the TPU replacement for the reference's C++ usearch HNSW index
+(reference: src/index/usearch.rs:89-99).  Instead of a pointer-chasing
+multi-layer heap structure mutated in place, the index is a set of
+fixed-shape arrays living in HBM, updated functionally by jitted steps:
+
+  vectors   [C, D]   storage dtype (f32 / bf16 / int8+scale), ingest-
+                     preprocessed (unit-norm for cosine space)
+  neighbors [C, R]   int32 fixed-degree adjacency, SENTINEL-padded
+  nbr_dist  [C, R]   f32 cached edge lengths (drives degree-clamped
+                     reverse-edge updates without re-gathering vectors)
+  valid     [C]      bool liveness (False = tombstone, reference remove
+                     semantics: src/index/usearch.rs:235-249)
+  size      []       int32 live count (reference count(): usearch.rs:308-311)
+  frontier  []       int32 rows allocated so far (host-assigned, sequential)
+
+Design notes (TPU-first, not a translation):
+  * single-layer navigable graph with a *routing stage* instead of HNSW's
+    upper layers: each query first scores a strided sample of the bank with
+    one MXU matmul and starts the beam from the best hits.  Hierarchy-free
+    means no serial per-level descent — the whole search is a fixed-trip
+    `lax.scan`.
+  * capacity is static per compilation; growth is a host-side buffer
+    reallocation that doubles C (the reference grows usearch capacity when
+    free space dips below a third: src/index/usearch.rs:60-66,201-212).
+  * slot allocation/free-list lives on the host (engine/keymap.py), so the
+    device steps never see dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import distance as dist_mod
+from .topk import SENTINEL
+
+INVALID = 2**31 - 1  # SENTINEL as python int
+
+
+class GraphState(NamedTuple):
+    vectors: jnp.ndarray  # [C, D]
+    neighbors: jnp.ndarray  # [C, R] int32
+    nbr_dist: jnp.ndarray  # [C, R] f32
+    valid: jnp.ndarray  # [C] bool
+    size: jnp.ndarray  # [] int32
+    frontier: jnp.ndarray  # [] int32
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def dims(self) -> int:
+        return self.vectors.shape[1]
+
+
+@dataclass(frozen=True)
+class GraphConfig:
+    """Static (hashable) compile-time configuration of the graph kernels.
+
+    Maps the reference's usearch knobs (src/lib.rs:147-211) onto the TPU
+    design: `connectivity` → degree R, `expansion_search` → beam pool P,
+    `expansion_add` → insert-time pool.
+    """
+
+    dims: int
+    degree: int = 32  # R, usearch connectivity
+    ef_search: int = 64  # beam pool P
+    ef_add: int = 128  # insert candidate pool
+    beam_width: int = 4  # nodes expanded per search iteration
+    iters: int = 0  # 0 → derived: max(8, ef_search // beam_width)
+    space: str = "cosine"
+    dtype: str = "bfloat16"  # storage dtype of vectors
+    routing_sample: int = 1024  # strided sample scored by matmul for entry
+    entry_points: int = 8  # entries per query taken from the routing stage
+    prune_alpha: float = 1.2  # robust-prune slack (DiskANN-style)
+
+    @property
+    def search_iters(self) -> int:
+        return self.iters if self.iters > 0 else max(8, self.ef_search // self.beam_width)
+
+    @property
+    def jdtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+
+def init(cfg: GraphConfig, capacity: int) -> GraphState:
+    """Fresh empty index with reserved capacity (usearch.rs:98-99 reserve)."""
+    return GraphState(
+        vectors=jnp.zeros((capacity, cfg.dims), dtype=cfg.jdtype),
+        neighbors=jnp.full((capacity, cfg.degree), INVALID, dtype=jnp.int32),
+        nbr_dist=jnp.full((capacity, cfg.degree), jnp.inf, dtype=jnp.float32),
+        valid=jnp.zeros((capacity,), dtype=bool),
+        size=jnp.zeros((), dtype=jnp.int32),
+        frontier=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def grow(state: GraphState, new_capacity: int) -> GraphState:
+    """Host-side capacity growth: pad every buffer (keeps contents).
+
+    Mirrors the reference's reserve-when-low policy
+    (src/index/usearch.rs:201-212) as an explicit reallocation event —
+    jitted steps recompile once per capacity, then hit the cache.
+    """
+    c = state.capacity
+    assert new_capacity > c
+    pad = new_capacity - c
+    return GraphState(
+        vectors=jnp.pad(state.vectors, ((0, pad), (0, 0))),
+        neighbors=jnp.pad(state.neighbors, ((0, pad), (0, 0)), constant_values=INVALID),
+        nbr_dist=jnp.pad(state.nbr_dist, ((0, pad), (0, 0)), constant_values=jnp.inf),
+        valid=jnp.pad(state.valid, (0, pad)),
+        size=state.size,
+        frontier=state.frontier,
+    )
+
+
+def gather_rows(
+    vectors: jnp.ndarray, ids: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather vector rows for (possibly SENTINEL) ids.
+
+    Returns (vecs, is_sentinel).  Sentinel ids are clipped into range for the
+    gather and must be masked by the caller via the returned flag.
+    """
+    is_sent = ids >= vectors.shape[0]
+    safe = jnp.clip(ids, 0, vectors.shape[0] - 1)
+    return jnp.take(vectors, safe, axis=0), is_sent
+
+
+def routing_entries(
+    state: GraphState,
+    queries: jnp.ndarray,  # [Q, D] preprocessed
+    cfg: GraphConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Entry-point selection: score a strided sample of allocated rows with
+    one MXU matmul and return the best `entry_points` per query.
+
+    This replaces HNSW's upper-layer greedy descent with a single dense
+    block — the TPU-native way to cut graph hops.
+    Returns (dist[Q, E], ids[Q, E]).
+    """
+    C = state.capacity
+    S = min(cfg.routing_sample, C)
+    # Strided sample over the full capacity; rows beyond the frontier are
+    # masked.  Sequential host allocation makes a stride a uniform sample
+    # over insertion order.
+    stride = max(C // S, 1)
+    sample_ids = (jnp.arange(S, dtype=jnp.int32) * stride) % C
+    in_range = sample_ids < state.frontier
+    sample_vecs = jnp.take(state.vectors, sample_ids, axis=0)  # [S, D]
+    d = dist_mod.pairwise(queries, sample_vecs, cfg.space)  # [Q, S]
+    d = jnp.where(in_range[None, :], d, jnp.inf)
+    E = min(cfg.entry_points, S)
+    neg, pos = jax.lax.top_k(-d, E)
+    ids = jnp.take(sample_ids, pos)
+    ids = jnp.where(jnp.isinf(-neg), SENTINEL, ids)
+    return -neg, ids

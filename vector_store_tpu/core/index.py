@@ -1,0 +1,214 @@
+"""Host-side index wrapper: slot allocation, batch bucketing, growth.
+
+`SlotIndex` is the synchronous, numpy-in/numpy-out face of the device
+index.  It owns everything XLA must not see — the allocation cursor, the
+capacity-doubling policy (reference grow-when-low: src/index/usearch.rs:
+60-66,201-212) and the padding of variable-size requests into a small set
+of static shapes so the jit cache stays small (one compilation per
+(batch-bucket, capacity) pair).
+
+Key↔slot mapping is *not* here: the engine layer owns the bimap
+(reference: src/index/usearch.rs:109-113), keeping the core purely
+numeric.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import IndexParams
+from . import build, bruteforce, graph, search
+from .graph import GraphConfig, GraphState
+from .topk import INF
+
+# Insert batch block: adds are chunked into blocks of this size (one jit
+# cache entry).  The last partial block is padded with dead lanes.
+INSERT_BLOCK = 256
+
+# Query batches are padded up to the nearest bucket.
+QUERY_BUCKETS = (1, 8, 32, 128, 512, 2048)
+
+INVALID = graph.INVALID
+
+
+def config_from_params(params: IndexParams) -> GraphConfig:
+    """Translate the reference's usearch knobs into kernel config."""
+    return GraphConfig(
+        dims=params.dimensions,
+        degree=max(params.connectivity, 4),
+        ef_search=max(params.expansion_search, 64),
+        ef_add=max(params.expansion_add, 64),
+        space=params.space,
+        dtype="float32" if params.dtype == "float32" else "bfloat16",
+    )
+
+
+def _bucket(n: int) -> int:
+    for b in QUERY_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // QUERY_BUCKETS[-1]) * QUERY_BUCKETS[-1]
+
+
+class SlotIndex:
+    """Single-device ANN index over integer slots.
+
+    Thread-safe at the granularity the engine needs: one writer at a time
+    (the index actor serialises mutations, like the reference's mailbox),
+    concurrent readers snapshot `self._state` — a jax pytree reference swap
+    is atomic under the GIL, so queries never see a half-applied update.
+    This replaces the reference's RwLock (src/index/usearch.rs:98).
+    """
+
+    def __init__(
+        self,
+        params: IndexParams,
+        initial_capacity: int | None = None,
+        exact: bool = False,
+    ) -> None:
+        self.params = params
+        self.cfg = config_from_params(params)
+        cap = initial_capacity or min(params.capacity, 1 << 16)
+        cap = max(cap, 2 * INSERT_BLOCK)
+        self._state: GraphState = graph.init(self.cfg, cap)
+        self._exact = exact
+        self._lock = threading.Lock()
+
+    # -- introspection ----------------------------------------------------
+
+    @property
+    def state(self) -> GraphState:
+        return self._state
+
+    def count(self) -> int:
+        return int(self._state.size)
+
+    @property
+    def capacity(self) -> int:
+        return self._state.capacity
+
+    @property
+    def frontier(self) -> int:
+        return int(self._state.frontier)
+
+    # -- mutation ----------------------------------------------------------
+
+    def _ensure_capacity(self, needed_rows: int) -> None:
+        state = self._state
+        need = int(state.frontier) + needed_rows
+        cap = state.capacity
+        # Grow when free rows drop below a third of a block of headroom —
+        # the reference's grow-when-low policy, reshaped around blocks.
+        if need + INSERT_BLOCK <= cap:
+            return
+        new_cap = cap
+        while need + INSERT_BLOCK > new_cap:
+            new_cap *= 2
+        self._state = graph.grow(state, new_cap)
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Insert vectors; returns their assigned slots [n]."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        n, d = vectors.shape
+        if d != self.cfg.dims:
+            raise ValueError(
+                f"dimension mismatch: index {self.cfg.dims}, got {d}"
+            )
+        with self._lock:
+            self._ensure_capacity(n)
+            base = int(self._state.frontier)
+            slots = np.arange(base, base + n, dtype=np.int32)
+            for off in range(0, n, INSERT_BLOCK):
+                blk = vectors[off : off + INSERT_BLOCK]
+                m = blk.shape[0]
+                live = np.zeros((INSERT_BLOCK,), dtype=bool)
+                live[:m] = True
+                if m < INSERT_BLOCK:
+                    blk = np.pad(blk, ((0, INSERT_BLOCK - m), (0, 0)))
+                self._state = build.insert(
+                    self._state,
+                    jnp.int32(base + off),
+                    jnp.asarray(blk),
+                    jnp.asarray(live),
+                    self.cfg,
+                )
+            return slots
+
+    def remove(self, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, dtype=np.int32).reshape(-1)
+        if slots.size == 0:
+            return
+        with self._lock:
+            n = slots.size
+            b = _bucket(n)
+            live = np.zeros((b,), dtype=bool)
+            live[:n] = True
+            padded = np.full((b,), 0, dtype=np.int32)
+            padded[:n] = slots
+            self._state = build.delete(
+                self._state, jnp.asarray(padded), jnp.asarray(live)
+            )
+
+    # -- query -------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched ANN query → (dist[n, k], slots[n, k]); missing results
+        are (+inf, -1)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        single = queries.ndim == 1
+        if single:
+            queries = queries[None, :]
+        n, d = queries.shape
+        if d != self.cfg.dims:
+            raise ValueError(
+                f"dimension mismatch: index {self.cfg.dims}, got {d}"
+            )
+        b = _bucket(n)
+        if b != n:
+            queries = np.pad(queries, ((0, b - n), (0, 0)))
+        state = self._state  # atomic snapshot
+        if self._exact:
+            # The bank is stored preprocessed; match the queries to it.
+            from . import distance as dist_mod
+
+            qp = dist_mod.preprocess(jnp.asarray(queries), self.cfg.space)
+            dist, ids = bruteforce.search(
+                qp.astype(state.vectors.dtype),
+                state.vectors,
+                state.valid,
+                self.cfg.space,
+                k,
+            )
+        else:
+            dist, ids = search.search(state, jnp.asarray(queries), self.cfg, k)
+        dist = np.asarray(dist[:n])
+        ids = np.asarray(ids[:n]).astype(np.int64)
+        ids[~np.isfinite(dist)] = -1
+        if single:
+            return dist[0], ids[0]
+        return dist, ids
+
+    def exact_search(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Brute-force oracle over the same state (recall measurement)."""
+        saved, self._exact = self._exact, True
+        try:
+            return self.search(queries, k)
+        finally:
+            self._exact = saved
+
+    def get_vectors(self, slots: np.ndarray) -> np.ndarray:
+        """Fetch (preprocessed) stored vectors for slots — persist/debug."""
+        return np.asarray(
+            jnp.take(self._state.vectors, jnp.asarray(slots, dtype=jnp.int32), axis=0)
+        )
