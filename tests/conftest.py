@@ -34,3 +34,26 @@ assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)
+
+
+# --- minimal async test support (pytest-asyncio is not in the image) -------
+
+import asyncio
+import inspect
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "asyncio: run test in an event loop")
+
+
+@pytest.hookimpl(tryfirst=True)
+def pytest_pyfunc_call(pyfuncitem):
+    fn = pyfuncitem.obj
+    if inspect.iscoroutinefunction(fn):
+        kwargs = {
+            name: pyfuncitem.funcargs[name]
+            for name in pyfuncitem._fixtureinfo.argnames
+        }
+        asyncio.run(fn(**kwargs))
+        return True
+    return None

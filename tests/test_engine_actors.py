@@ -1,0 +1,120 @@
+"""Actor-protocol tests: engine registry + ANN index actor.
+
+Port of the reference's patterns: actors tested by their message
+protocol with poll-until loops, never sleeps (usearch.rs:313-426 test,
+SURVEY §4.1-2).
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from vector_store_tpu.engine import AnnIndexFactory, new_engine
+from vector_store_tpu.types import IndexId, IndexMetadata, IndexParams, Limit
+
+
+def meta(name: str, dims: int = 3) -> IndexMetadata:
+    return IndexMetadata(
+        index_id=IndexId(name),
+        params=IndexParams(dimensions=dims, space="l2", capacity=2048),
+    )
+
+
+async def poll_until(cond, timeout=10.0):
+    """Reference pattern: poll with yield until condition (usearch.rs:352-358)."""
+    async with asyncio.timeout(timeout):
+        while not await cond():
+            await asyncio.sleep(0)
+
+
+@pytest.mark.asyncio
+async def test_engine_add_get_del():
+    engine = await new_engine(AnnIndexFactory())
+    assert await engine.get_index_ids() == []
+
+    await engine.add_index(meta("ks.a"))
+    await engine.add_index(meta("ks.b"))
+    ids = await engine.get_index_ids()
+    assert sorted(i.value for i in ids) == ["ks.a", "ks.b"]
+
+    # idempotent-skip: re-adding keeps the same actor (engine.rs:96-100)
+    h1 = await engine.get_index(IndexId("ks.a"))
+    await engine.add_index(meta("ks.a"))
+    h2 = await engine.get_index(IndexId("ks.a"))
+    assert h1 is h2
+
+    await engine.del_index(IndexId("ks.a"))
+    assert await engine.get_index(IndexId("ks.a")) is None
+    # deleted index actor terminates (engine.rs:113-116)
+    await asyncio.wait_for(h1.join(), 10)
+    await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_ann_actor_add_or_replace_size_ann():
+    """Full port of the usearch unit test (usearch.rs:322-426)."""
+    engine = await new_engine(AnnIndexFactory())
+    await engine.add_index(meta("vector.store"))
+    actor = await engine.get_index(IndexId("vector.store"))
+
+    await actor.add_or_replace((1, "one"), np.array([1.0, 1.0, 1.0]))
+    await actor.add_or_replace((2, "two"), np.array([2.0, -2.0, 2.0]))
+    await actor.add_or_replace((3, "three"), np.array([3.0, 3.0, 3.0]))
+
+    await poll_until(lambda: _eq(actor.count(), 3))
+
+    keys, dists = await actor.ann(np.array([2.2, -2.2, 2.2]), Limit(1))
+    assert keys == [(2, "two")]
+    assert len(dists) == 1
+
+    # replace key 3 with a closer vector, requery until visible
+    await actor.add_or_replace((3, "three"), np.array([2.1, -2.1, 2.1]))
+
+    async def three_wins():
+        keys, _ = await actor.ann(np.array([2.2, -2.2, 2.2]), Limit(1))
+        return keys == [(3, "three")]
+
+    await poll_until(three_wins)
+
+    # remove → count drops, next-best returned
+    await actor.remove((3, "three"))
+    await poll_until(lambda: _eq(actor.count(), 2))
+    keys, dists = await actor.ann(np.array([2.2, -2.2, 2.2]), Limit(1))
+    assert keys == [(2, "two")]
+    await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_ann_dimension_validation():
+    """ann validates dimensions (usearch.rs:259-272)."""
+    engine = await new_engine(AnnIndexFactory())
+    await engine.add_index(meta("ks.v", dims=4))
+    actor = await engine.get_index(IndexId("ks.v"))
+    with pytest.raises(ValueError, match="dimensions"):
+        await actor.ann(np.ones(3), Limit(1))
+    await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_concurrent_ann_batching():
+    """Many concurrent queries coalesce and all get correct answers."""
+    engine = await new_engine(AnnIndexFactory())
+    await engine.add_index(meta("ks.c", dims=8))
+    actor = await engine.get_index(IndexId("ks.c"))
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(64, 8)).astype(np.float32)
+    for i in range(64):
+        await actor.add_or_replace((i,), vecs[i])
+    await poll_until(lambda: _eq(actor.count(), 64))
+
+    results = await asyncio.gather(
+        *(actor.ann(vecs[i], Limit(1)) for i in range(64))
+    )
+    for i, (keys, dists) in enumerate(results):
+        assert keys == [(i,)], f"query {i} → {keys}"
+    await engine.close()
+
+
+async def _eq(coro, val):
+    return await coro == val

@@ -1,0 +1,174 @@
+"""HTTP integration tests: both REST surfaces end-to-end, in-process.
+
+Ports the reference's live e2e test (tests/integration/main.rs:83-143 —
+create → list → add docs → poll search → top-1) and the vestigial ANN
+client surface (tests/integration/httpclient.rs), with aiohttp's test
+client replacing reqwest; no external services.
+"""
+
+import asyncio
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from vector_store_tpu import new_index_factory
+from vector_store_tpu.api.routes import build_app
+from vector_store_tpu.engine.engine import new_engine
+
+
+async def _make_client():
+    engine = await new_engine(new_index_factory())
+    app = build_app(engine)
+    c = TestClient(TestServer(app))
+    await c.start_server()
+    return c, engine
+
+
+@pytest.mark.asyncio
+async def test_text_search_e2e():
+    """Reference live e2e flow (tests/integration/main.rs:83-143)."""
+    c, engine = await _make_client()
+    try:
+        # empty list
+        r = await c.get("/api/v1/text-search")
+        assert r.status == 200 and await r.json() == []
+
+        # create
+        r = await c.put("/api/v1/text-search/articles")
+        assert r.status == 200
+        r = await c.get("/api/v1/text-search")
+        assert await r.json() == ["articles"]
+
+        # add two docs (acked)
+        r = await c.post(
+            "/api/v1/text-search/articles/add",
+            json={"id": "doc1", "text": "the quick brown fox jumps over the lazy dog"},
+        )
+        assert r.status == 200
+        r = await c.post(
+            "/api/v1/text-search/articles/add",
+            json={"id": "doc2", "text": "a fast auburn vulpine leaps over a sleepy canine"},
+        )
+        assert r.status == 200
+
+        # poll-search until indexed, assert top-1 (main.rs:117-132)
+        async with asyncio.timeout(10):
+            while True:
+                r = await c.post(
+                    "/api/v1/text-search/articles/search",
+                    json={"text": "quick fox", "limit": 2},
+                )
+                assert r.status == 200
+                keys = await r.json()
+                if keys and keys[0] == "doc1":
+                    break
+                await asyncio.sleep(0)
+
+        # 404s for unknown index (httproutes.rs:104,137)
+        r = await c.post("/api/v1/text-search/missing/add", json={"id": "x", "text": "y"})
+        assert r.status == 404
+        r = await c.post("/api/v1/text-search/missing/search", json={"text": "y"})
+        assert r.status == 404
+
+        # PUT recreates: doc count resets (httproutes.rs:76-79 del+add)
+        r = await c.put("/api/v1/text-search/articles")
+        assert r.status == 200
+        r = await c.post(
+            "/api/v1/text-search/articles/search", json={"text": "quick fox"}
+        )
+        assert await r.json() == []
+    finally:
+        await c.close()
+        await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_ann_surface_e2e():
+    """Vestigial ANN REST surface (httpclient.rs:35-80) + extensions."""
+    c, engine = await _make_client()
+    try:
+        r = await c.get("/api/v1/indexes")
+        assert await r.json() == []
+
+        # create with params (extension; discovery path tested in ingest)
+        r = await c.put(
+            "/api/v1/indexes/ks/vec",
+            json={"dimensions": 3, "space": "l2", "key_columns": ["id", "name"]},
+        )
+        assert r.status == 200
+        assert await (await c.get("/api/v1/indexes")).json() == ["ks.vec"]
+
+        for pk, emb in [
+            ([1, "one"], [1.0, 1.0, 1.0]),
+            ([2, "two"], [2.0, -2.0, 2.0]),
+            ([3, "three"], [3.0, 3.0, 3.0]),
+        ]:
+            r = await c.post(
+                "/api/v1/indexes/ks/vec/add",
+                json={"primary_key": pk, "embedding": emb},
+            )
+            assert r.status == 200
+
+        async with asyncio.timeout(10):
+            while True:
+                r = await c.get("/api/v1/indexes/ks/vec/count")
+                if await r.json() == 3:
+                    break
+                await asyncio.sleep(0)
+
+        r = await c.post(
+            "/api/v1/indexes/ks/vec/ann",
+            json={"embedding": [2.2, -2.2, 2.2], "limit": 1},
+        )
+        assert r.status == 200
+        body = await r.json()
+        # column-major primary keys (httpclient.rs:46-66)
+        assert body["primary_keys"] == {"id": [2], "name": ["two"]}
+        assert len(body["distances"]) == 1
+
+        # dimension mismatch → 400 with message (usearch.rs:259-272)
+        r = await c.post(
+            "/api/v1/indexes/ks/vec/ann", json={"embedding": [1.0], "limit": 1}
+        )
+        assert r.status == 400
+        assert "dimensions" in await r.text()
+
+        # remove + count (extension remove; count: httpclient.rs:68-80)
+        r = await c.post(
+            "/api/v1/indexes/ks/vec/remove", json={"primary_key": [3, "three"]}
+        )
+        assert r.status == 200
+        async with asyncio.timeout(10):
+            while await (await c.get("/api/v1/indexes/ks/vec/count")).json() != 2:
+                await asyncio.sleep(0)
+
+        # unknown index → 404
+        r = await c.post(
+            "/api/v1/indexes/ks/nope/ann", json={"embedding": [1, 2, 3]}
+        )
+        assert r.status == 404
+
+        # drop
+        r = await c.delete("/api/v1/indexes/ks/vec")
+        assert r.status == 200
+        assert await (await c.get("/api/v1/indexes")).json() == []
+    finally:
+        await c.close()
+        await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_openapi_and_health():
+    c, engine = await _make_client()
+    try:
+        r = await c.get("/api-docs/openapi.json")
+        spec = await r.json()
+        assert spec["openapi"].startswith("3.")
+        assert "/api/v1/text-search/{index}/search" in spec["paths"]
+        r = await c.get("/swagger-ui")
+        assert r.status == 200 and "swagger-ui" in await r.text()
+        r = await c.get("/healthz")
+        assert (await r.json())["status"] == "ok"
+    finally:
+        await c.close()
+        await engine.close()

@@ -25,3 +25,37 @@ from .types import (  # noqa: F401
     Timestamp,
     primary_key,
 )
+
+
+def new_index_factory(exact: bool = False):
+    """Default factory: ANN + text backends behind one routing seam
+    (reference: lib.rs:275-277 built the opensearch factory)."""
+    from .engine.ann_index import AnnIndexFactory
+    from .engine.factory import RoutingFactory
+    from .engine.text_index import TextIndexFactory
+
+    return RoutingFactory(
+        {
+            "ann": AnnIndexFactory(),
+            "exact": AnnIndexFactory(exact=True),
+            "text": TextIndexFactory(),
+        }
+    )
+
+
+async def run(addr: str, index_factory=None):
+    """Start engine + HTTP server; returns (HttpServer, EngineHandle)
+    (reference: lib.rs:267-273)."""
+    from .api.server import serve
+    from .engine.engine import new_engine
+
+    engine = await new_engine(index_factory or new_index_factory())
+    server = await serve(addr, engine)
+    return server, engine
+
+
+async def wait_for_shutdown() -> None:
+    """SIGINT/SIGTERM latch (reference: lib.rs:279-295)."""
+    from .api.server import wait_for_shutdown as _wait
+
+    await _wait()

@@ -1,0 +1,260 @@
+"""REST routes — both API surfaces of the reference, one router.
+
+Text-search surface (live system, reference src/httproutes.rs):
+    GET  /api/v1/text-search                     list text indexes   (:53-63)
+    PUT  /api/v1/text-search/{index}             create (del+add)    (:65-79)
+    POST /api/v1/text-search/{index}/add         {id, text} → 200/404 (:99-110)
+    POST /api/v1/text-search/{index}/search      {text, limit} → keys | 404 | 500 (:132-150)
+
+ANN surface (vestigial system, shapes from tests/integration/httpclient.rs):
+    GET  /api/v1/indexes                          list ids            (:35-44)
+    POST /api/v1/indexes/{ks}/{idx}/ann           {embedding, limit} →
+         {primary_keys: {col: [...]}, distances: [...]}               (:46-66)
+    GET  /api/v1/indexes/{ks}/{idx}/count         live count          (:68-80)
+
+Extensions (absent in the reference, needed for standalone use — the
+reference only created ANN indexes via DB schema discovery):
+    PUT    /api/v1/indexes/{ks}/{idx}             create with params body
+    DELETE /api/v1/indexes/{ks}/{idx}             drop
+    POST   /api/v1/indexes/{ks}/{idx}/add         {primary_key, embedding}
+    POST   /api/v1/indexes/{ks}/{idx}/remove      {primary_key}
+    GET    /healthz
+
+Plus OpenAPI JSON at /api-docs/openapi.json and a Swagger UI page at
+/swagger-ui (reference: httproutes.rs:50).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+from aiohttp import web
+
+from ..engine.engine import EngineHandle
+from ..types import IndexId, IndexMetadata, IndexParams, Limit
+from .openapi import openapi_spec, swagger_html
+
+log = logging.getLogger("vst.http")
+
+
+def _json_error(status: int, text: str = "") -> web.Response:
+    return web.Response(status=status, text=text)
+
+
+async def _get_index(request: web.Request, index_id: IndexId):
+    engine: EngineHandle = request.app["engine"]
+    return await engine.get_index(index_id)
+
+
+def _index_id(request: web.Request) -> IndexId:
+    if "keyspace" in request.match_info:
+        return IndexId.from_parts(
+            request.match_info["keyspace"], request.match_info["index"]
+        )
+    return IndexId(request.match_info["index"])
+
+
+# --------------------------------------------------------------------------
+# text-search surface
+
+
+async def get_text_indexes(request: web.Request) -> web.Response:
+    engine: EngineHandle = request.app["engine"]
+    ids = []
+    for index_id in await engine.get_index_ids():
+        handle = await engine.get_index(index_id)
+        if handle is not None and getattr(handle.metadata, "kind", "text") == "text":
+            ids.append(index_id.value)
+    return web.json_response(ids)
+
+
+async def put_text_index(request: web.Request) -> web.Response:
+    """Create an index — recreate semantics: del then add
+    (httproutes.rs:76-79)."""
+    engine: EngineHandle = request.app["engine"]
+    index_id = _index_id(request)
+    await engine.del_index(index_id)
+    await engine.add_index(IndexMetadata(index_id=index_id, kind="text"))
+    return web.Response(status=200)
+
+
+async def post_text_add(request: web.Request) -> web.Response:
+    index = await _get_index(request, _index_id(request))
+    if index is None:
+        return _json_error(404)
+    body = await request.json()
+    await index.add((body["id"],), body["text"])
+    return web.Response(status=200)
+
+
+async def post_text_search(request: web.Request) -> web.Response:
+    index = await _get_index(request, _index_id(request))
+    if index is None:
+        return _json_error(404)
+    body = await request.json()
+    limit = Limit(int(body.get("limit", 1)))
+    try:
+        keys = await index.search(body["text"], limit)
+    except Exception as exc:  # noqa: BLE001 — 500 with error text
+        msg = f"index.search request error: {exc}"
+        log.debug("post_text_search: %s", msg)
+        return _json_error(500, msg)
+    # live system keys are plain strings (lib.rs:63); unwrap 1-tuples
+    return web.json_response([k[0] if len(k) == 1 else list(k) for k in keys])
+
+
+# --------------------------------------------------------------------------
+# ANN surface
+
+
+async def get_ann_indexes(request: web.Request) -> web.Response:
+    engine: EngineHandle = request.app["engine"]
+    ids = []
+    for index_id in await engine.get_index_ids():
+        handle = await engine.get_index(index_id)
+        if handle is not None and getattr(handle.metadata, "kind", "ann") != "text":
+            ids.append(index_id.value)
+    return web.json_response(ids)
+
+
+async def put_ann_index(request: web.Request) -> web.Response:
+    engine: EngineHandle = request.app["engine"]
+    index_id = _index_id(request)
+    body = await request.json() if request.can_read_body else {}
+    try:
+        params = IndexParams(
+            dimensions=int(body["dimensions"]),
+            connectivity=int(body.get("connectivity", 32)),
+            expansion_add=int(body.get("expansion_add", 128)),
+            expansion_search=int(body.get("expansion_search", 64)),
+            space=body.get("space", "cosine"),
+            dtype=body.get("dtype", "bfloat16" ),
+        )
+    except KeyError:
+        return _json_error(400, "missing required field: dimensions")
+    except ValueError as exc:
+        return _json_error(400, str(exc))
+    kind = body.get("kind", "ann")
+    key_columns = tuple(body.get("key_columns", ()))
+    await engine.del_index(index_id)
+    await engine.add_index(
+        IndexMetadata(
+            index_id=index_id, params=params, key_columns=key_columns, kind=kind
+        )
+    )
+    return web.Response(status=200)
+
+
+async def delete_ann_index(request: web.Request) -> web.Response:
+    engine: EngineHandle = request.app["engine"]
+    await engine.del_index(_index_id(request))
+    return web.Response(status=200)
+
+
+def _column_major(keys: list, key_columns: tuple) -> dict:
+    """PostIndexAnnResponse.primary_keys shape: {column: [values]}
+    (httpclient.rs:46-66)."""
+    width = max((len(k) for k in keys), default=len(key_columns) or 1)
+    cols = list(key_columns) + [
+        f"pk{i}" for i in range(len(key_columns), width)
+    ]
+    return {
+        col: [list(k)[i] if i < len(k) else None for k in keys]
+        for i, col in enumerate(cols[:width])
+    }
+
+
+async def post_ann(request: web.Request) -> web.Response:
+    index = await _get_index(request, _index_id(request))
+    if index is None:
+        return _json_error(404)
+    body = await request.json()
+    limit = Limit(int(body.get("limit", 1)))
+    embedding = np.asarray(body["embedding"], dtype=np.float32)
+    try:
+        keys, distances = await index.ann(embedding, limit)
+    except ValueError as exc:  # dimension mismatch (usearch.rs:259-272)
+        return _json_error(400, str(exc))
+    except Exception as exc:  # noqa: BLE001
+        msg = f"index.ann request error: {exc}"
+        log.debug("post_ann: %s", msg)
+        return _json_error(500, msg)
+    key_columns = tuple(getattr(index.metadata, "key_columns", ()) or ())
+    return web.json_response(
+        {"primary_keys": _column_major(keys, key_columns), "distances": distances}
+    )
+
+
+async def get_count(request: web.Request) -> web.Response:
+    index = await _get_index(request, _index_id(request))
+    if index is None:
+        return _json_error(404)
+    return web.json_response(await index.count())
+
+
+async def post_ann_add(request: web.Request) -> web.Response:
+    index = await _get_index(request, _index_id(request))
+    if index is None:
+        return _json_error(404)
+    body = await request.json()
+    key = tuple(body["primary_key"]) if isinstance(
+        body["primary_key"], list
+    ) else (body["primary_key"],)
+    embedding = np.asarray(body["embedding"], dtype=np.float32)
+    try:
+        await index.add_or_replace(key, embedding)
+    except ValueError as exc:
+        return _json_error(400, str(exc))
+    return web.Response(status=200)
+
+
+async def post_ann_remove(request: web.Request) -> web.Response:
+    index = await _get_index(request, _index_id(request))
+    if index is None:
+        return _json_error(404)
+    body = await request.json()
+    key = tuple(body["primary_key"]) if isinstance(
+        body["primary_key"], list
+    ) else (body["primary_key"],)
+    await index.remove(key)
+    return web.Response(status=200)
+
+
+# --------------------------------------------------------------------------
+
+
+async def healthz(request: web.Request) -> web.Response:
+    return web.json_response({"status": "ok"})
+
+
+async def get_openapi(request: web.Request) -> web.Response:
+    return web.json_response(openapi_spec())
+
+
+async def get_swagger(request: web.Request) -> web.Response:
+    return web.Response(text=swagger_html(), content_type="text/html")
+
+
+def build_app(engine: EngineHandle) -> web.Application:
+    app = web.Application()
+    app["engine"] = engine
+    app.add_routes(
+        [
+            web.get("/api/v1/text-search", get_text_indexes),
+            web.put("/api/v1/text-search/{index}", put_text_index),
+            web.post("/api/v1/text-search/{index}/add", post_text_add),
+            web.post("/api/v1/text-search/{index}/search", post_text_search),
+            web.get("/api/v1/indexes", get_ann_indexes),
+            web.put("/api/v1/indexes/{keyspace}/{index}", put_ann_index),
+            web.delete("/api/v1/indexes/{keyspace}/{index}", delete_ann_index),
+            web.post("/api/v1/indexes/{keyspace}/{index}/ann", post_ann),
+            web.get("/api/v1/indexes/{keyspace}/{index}/count", get_count),
+            web.post("/api/v1/indexes/{keyspace}/{index}/add", post_ann_add),
+            web.post("/api/v1/indexes/{keyspace}/{index}/remove", post_ann_remove),
+            web.get("/healthz", healthz),
+            web.get("/api-docs/openapi.json", get_openapi),
+            web.get("/swagger-ui", get_swagger),
+        ]
+    )
+    return app

