@@ -1,0 +1,97 @@
+"""Sharded-index tests on the virtual 8-device CPU mesh.
+
+BASELINE config 5 in miniature: documents sharded over the mesh,
+queries replicated, per-shard top-k merged via all_gather over the
+shard axis.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vector_store_tpu.shard import ShardedSlotIndex, make_mesh
+from vector_store_tpu.types import IndexParams
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8
+    return make_mesh(8)
+
+
+def test_sharded_identity_and_count(mesh8, rng):
+    idx = ShardedSlotIndex(
+        IndexParams(dimensions=16, space="l2"),
+        mesh=mesh8,
+        initial_capacity_per_shard=1024,
+    )
+    x = rng.normal(size=(600, 16)).astype(np.float32)
+    gids = idx.add(x)
+    assert idx.count() == 600
+    assert len(set(gids.tolist())) == 600
+    # every vector finds itself
+    d, i = idx.search(x[:32], 1)
+    assert (i[:, 0] == gids[:32]).all()
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-3)
+
+
+def test_sharded_recall_vs_single(mesh8, rng):
+    """Sharded search ≈ single-device search on the same data."""
+    from vector_store_tpu.core import SlotIndex
+
+    n, dims, q, k = 3000, 24, 48, 10
+    x = rng.normal(size=(n, dims)).astype(np.float32)
+    queries = rng.normal(size=(q, dims)).astype(np.float32)
+
+    sharded = ShardedSlotIndex(
+        IndexParams(dimensions=dims, space="l2"),
+        mesh=mesh8,
+        initial_capacity_per_shard=1024,
+    )
+    gids = sharded.add(x)
+    single = SlotIndex(
+        IndexParams(dimensions=dims, space="l2"), initial_capacity=4096
+    )
+    single.add(x)
+
+    _, exact = single.exact_search(queries, k)
+    _, approx = sharded.search(queries, k)
+    # map sharded gids back to original row numbers
+    gid_to_row = {int(g): r for r, g in enumerate(gids)}
+    hits = 0
+    for j in range(q):
+        got = {gid_to_row[int(g)] for g in approx[j] if g >= 0}
+        want = set(exact[j].tolist())
+        hits += len(got & want)
+    recall = hits / (q * k)
+    assert recall >= 0.95, f"sharded recall@{k}={recall:.3f}"
+
+
+def test_sharded_remove(mesh8, rng):
+    idx = ShardedSlotIndex(
+        IndexParams(dimensions=8, space="l2"),
+        mesh=mesh8,
+        initial_capacity_per_shard=1024,
+    )
+    x = rng.normal(size=(100, 8)).astype(np.float32)
+    gids = idx.add(x)
+    d, i = idx.search(x[7], 1)
+    assert i[0] == gids[7]
+    idx.remove(gids[[7]])
+    assert idx.count() == 99
+    d, i = idx.search(x[7], 1)
+    assert i[0] != gids[7]
+
+
+def test_sharded_growth(mesh8, rng):
+    idx = ShardedSlotIndex(
+        IndexParams(dimensions=8, space="l2"),
+        mesh=mesh8,
+        initial_capacity_per_shard=600,
+    )
+    x = rng.normal(size=(5000, 8)).astype(np.float32)
+    gids = idx.add(x)  # forces per-shard growth 600 → larger
+    assert idx.count() == 5000
+    d, i = idx.search(x[4321], 1)
+    assert i[0] == gids[4321]

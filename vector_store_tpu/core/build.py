@@ -162,8 +162,7 @@ def insert_cfg(cfg: GraphConfig) -> GraphConfig:
     return dataclasses.replace(cfg, ef_search=cfg.ef_add)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def insert(
+def insert_impl(
     state: GraphState,
     base_slot: jnp.ndarray,  # [] int32 — first of M contiguous fresh rows
     vecs: jnp.ndarray,  # [M, D] raw new vectors
@@ -246,8 +245,7 @@ def insert(
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def delete(state: GraphState, slots: jnp.ndarray, live: jnp.ndarray) -> GraphState:
+def delete_impl(state: GraphState, slots: jnp.ndarray, live: jnp.ndarray) -> GraphState:
     """Tombstone a batch of rows (reference remove: usearch.rs:235-249).
 
     `slots` are rows to kill; padding lanes have live=False.  Rows stay
@@ -260,3 +258,9 @@ def delete(state: GraphState, slots: jnp.ndarray, live: jnp.ndarray) -> GraphSta
     return state._replace(
         valid=valid, size=state.size - jnp.sum(was.astype(jnp.int32))
     )
+
+
+insert = functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))(
+    insert_impl
+)
+delete = functools.partial(jax.jit, donate_argnums=(0,))(delete_impl)

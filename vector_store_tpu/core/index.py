@@ -72,11 +72,13 @@ class SlotIndex:
         params: IndexParams,
         initial_capacity: int | None = None,
         exact: bool = False,
+        insert_block: int = INSERT_BLOCK,
     ) -> None:
         self.params = params
         self.cfg = config_from_params(params)
+        self.insert_block = insert_block
         cap = initial_capacity or min(params.capacity, 1 << 16)
-        cap = max(cap, 2 * INSERT_BLOCK)
+        cap = max(cap, 2 * insert_block)
         self._state: GraphState = graph.init(self.cfg, cap)
         self._exact = exact
         self._lock = threading.Lock()
@@ -104,12 +106,12 @@ class SlotIndex:
         state = self._state
         need = int(state.frontier) + needed_rows
         cap = state.capacity
-        # Grow when free rows drop below a third of a block of headroom —
+        # Grow when free rows drop below a block of headroom —
         # the reference's grow-when-low policy, reshaped around blocks.
-        if need + INSERT_BLOCK <= cap:
+        if need + self.insert_block <= cap:
             return
         new_cap = cap
-        while need + INSERT_BLOCK > new_cap:
+        while need + self.insert_block > new_cap:
             new_cap *= 2
         self._state = graph.grow(state, new_cap)
 
@@ -127,13 +129,13 @@ class SlotIndex:
             self._ensure_capacity(n)
             base = int(self._state.frontier)
             slots = np.arange(base, base + n, dtype=np.int32)
-            for off in range(0, n, INSERT_BLOCK):
-                blk = vectors[off : off + INSERT_BLOCK]
+            for off in range(0, n, self.insert_block):
+                blk = vectors[off : off + self.insert_block]
                 m = blk.shape[0]
-                live = np.zeros((INSERT_BLOCK,), dtype=bool)
+                live = np.zeros((self.insert_block,), dtype=bool)
                 live[:m] = True
-                if m < INSERT_BLOCK:
-                    blk = np.pad(blk, ((0, INSERT_BLOCK - m), (0, 0)))
+                if m < self.insert_block:
+                    blk = np.pad(blk, ((0, self.insert_block - m), (0, 0)))
                 self._state = build.insert(
                     self._state,
                     jnp.int32(base + off),

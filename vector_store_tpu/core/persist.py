@@ -1,0 +1,77 @@
+"""Index persistence — checkpoint/restore of the device graph.
+
+The reference has **no** persistence: indexes are memory-only and rebuilt
+from the source of truth on every (re)create (SURVEY §5; reference
+src/httproutes.rs:76-79 recreate, src/db_index.rs:104-130 full rescan).
+Rebuild-from-source remains the parity behaviour; this module closes the
+gap the reference left open — snapshotting the device-resident graph
+(vectors + adjacency + liveness) plus the host-side key map to one
+``.npz`` so a large index restarts in seconds instead of re-scanning.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import IndexParams
+from .graph import GraphConfig, GraphState
+from .index import SlotIndex
+
+FORMAT_VERSION = 1
+
+
+def save(path: str, index: SlotIndex, keymap_blob: Optional[dict] = None) -> None:
+    """Snapshot a SlotIndex (and optionally the engine's key map) to npz."""
+    state = index.state
+    meta = {
+        "format": FORMAT_VERSION,
+        "params": asdict(index.params),
+        "cfg": asdict(index.cfg),
+        "exact": index._exact,
+    }
+    np.savez_compressed(
+        path,
+        vectors=np.asarray(state.vectors.astype(jnp.float32)),
+        neighbors=np.asarray(state.neighbors),
+        nbr_dist=np.asarray(state.nbr_dist),
+        valid=np.asarray(state.valid),
+        size=np.asarray(state.size),
+        frontier=np.asarray(state.frontier),
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        keymap=np.frombuffer(
+            json.dumps(keymap_blob or {}).encode(), dtype=np.uint8
+        ),
+    )
+
+
+def load(path: str) -> tuple[SlotIndex, dict]:
+    """Restore a SlotIndex; returns (index, keymap_blob)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        if meta["format"] != FORMAT_VERSION:
+            raise ValueError(f"unsupported snapshot format {meta['format']}")
+        params = IndexParams(**meta["params"])
+        cfg = GraphConfig(**meta["cfg"])
+        index = SlotIndex.__new__(SlotIndex)
+        index.params = params
+        index.cfg = cfg
+        index.insert_block = 256
+        index._exact = meta.get("exact", False)
+        import threading
+
+        index._lock = threading.Lock()
+        index._state = GraphState(
+            vectors=jnp.asarray(z["vectors"]).astype(cfg.jdtype),
+            neighbors=jnp.asarray(z["neighbors"]),
+            nbr_dist=jnp.asarray(z["nbr_dist"]),
+            valid=jnp.asarray(z["valid"]),
+            size=jnp.asarray(z["size"]),
+            frontier=jnp.asarray(z["frontier"]),
+        )
+        keymap_blob = json.loads(bytes(z["keymap"]).decode())
+    return index, keymap_blob

@@ -96,8 +96,7 @@ def search_pool(
     return pool_dist, pool_ids
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k"))
-def search(
+def search_impl(
     state: GraphState,
     queries: jnp.ndarray,  # [Q, D] raw (preprocessing applied here)
     cfg: GraphConfig,
@@ -108,6 +107,9 @@ def search(
     Returns (dist[Q, k] ascending, ids[Q, k]); absent results are
     (+inf, SENTINEL) — the reference returns fewer-than-k hits the same way
     by truncation (src/index/usearch.rs:284-303).
+
+    Unjitted body — call `search` for the compiled single-device version,
+    or use inside `shard_map` (shard/sharded_index.py).
     """
     queries = dist_mod.preprocess(
         queries.astype(jnp.float32), cfg.space
@@ -129,3 +131,6 @@ def search(
         top_d = jnp.pad(top_d, ((0, 0), (0, padn)), constant_values=jnp.inf)
         top_i = jnp.pad(top_i, ((0, 0), (0, padn)), constant_values=2**31 - 1)
     return top_d, top_i
+
+
+search = jax.jit(search_impl, static_argnames=("cfg", "k"))
