@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: QPS/chip at recall@10 >= 0.95 on an N x 768-d cosine corpus
+(BASELINE.md north star).  The corpus is a deterministic clustered
+synthetic standing in for real embedding distributions (Cohere/GloVe-
+like; the benchmark datasets themselves are not fetchable offline —
+point VST_BENCH_FVECS at an .fvecs file to bench real data instead).
+
+vs_baseline: ratio against the local CPU-HNSW anchor (the usearch-CPU
+role; BASELINE.md requires the anchor measured locally on the same
+data).  The CPU anchor is cached in bench_baseline.json because the
+single-core build takes ~an hour at 100K — delete the file to re-measure.
+
+Env knobs: VST_BENCH_N (corpus size, default 100_000), VST_BENCH_Q
+(queries, default 2048), VST_BENCH_SKIP_BASELINE=1 (report vs_baseline
+from cache or 0.0 without building the CPU index).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("VST_BENCH_N", "100000"))
+D = int(os.environ.get("VST_BENCH_D", "768"))
+Q = int(os.environ.get("VST_BENCH_Q", "2048"))
+K = 10
+TARGET_RECALL = 0.95
+SEED = 42
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+# search configs swept cheapest-first; first to clear the recall bar wins
+EF_LADDER = (
+    dict(ef_search=48, iters=10, beam_width=6),
+    dict(ef_search=64, iters=12, beam_width=6),
+    dict(ef_search=96, iters=16, beam_width=8),
+    dict(ef_search=128, iters=20, beam_width=8),
+    dict(ef_search=192, iters=24, beam_width=8),
+    dict(ef_search=256, iters=32, beam_width=8),
+)
+
+
+def make_dataset(n: int, d: int, q: int, seed: int = SEED):
+    """Deterministic clustered corpus + in-distribution queries."""
+    fvecs = os.environ.get("VST_BENCH_FVECS")
+    rng = np.random.default_rng(seed)
+    if fvecs:
+        from vector_store_tpu.utils.native import read_fvecs
+
+        x = read_fvecs(fvecs, n, d)
+        qi = rng.choice(len(x), q, replace=False)
+        queries = x[qi] + 0.05 * x[qi].std() * rng.normal(size=(q, x.shape[1])).astype(np.float32)
+        return x, queries.astype(np.float32)
+    n_clusters = max(n // 50, 16)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    x = centers[rng.integers(0, n_clusters, n)] + 0.35 * rng.normal(
+        size=(n, d)
+    ).astype(np.float32)
+    qi = rng.choice(n, q, replace=False)
+    queries = x[qi] + 0.25 * rng.normal(size=(q, d)).astype(np.float32)
+    return x, queries
+
+
+def recall_of(ids: np.ndarray, exact: np.ndarray) -> float:
+    q, k = exact.shape
+    return float(
+        np.mean(
+            [len(set(ids[i][:k].tolist()) & set(exact[i].tolist())) / k for i in range(q)]
+        )
+    )
+
+
+def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core import SlotIndex
+    from vector_store_tpu.core import search as search_mod
+    from vector_store_tpu.types import IndexParams
+
+    n, d = x.shape
+    idx = SlotIndex(
+        IndexParams(dimensions=d, space="cosine", capacity=n),
+        initial_capacity=max(1 << 16, 1 << (n - 1).bit_length()),
+        insert_block=1024,
+    )
+    t0 = time.time()
+    idx.add(x)
+    build_s = time.time() - t0
+
+    _, exact = idx.exact_search(queries, K)
+
+    qdev = jnp.asarray(queries)
+    best = None
+    for knobs in EF_LADDER:
+        cfg = dataclasses.replace(idx.cfg, **knobs)
+        d_, i_ = search_mod.search(idx.state, qdev, cfg, K)
+        jax.block_until_ready((d_, i_))
+        rec = recall_of(np.asarray(i_), exact)
+        print(f"# ef={knobs['ef_search']}: recall@10={rec:.3f}", file=sys.stderr)
+        if rec >= TARGET_RECALL:
+            best = (cfg, rec)
+            break
+        best = (cfg, rec)  # keep last (highest) if bar never cleared
+    cfg, rec = best
+
+    # QPS: async-dispatch a pipeline of batched searches, block on the last
+    reps = 10
+    t0 = time.time()
+    outs = [search_mod.search(idx.state, qdev, cfg, K) for _ in range(reps)]
+    jax.block_until_ready(outs[-1])
+    qps = reps * len(queries) / (time.time() - t0)
+    return {
+        "qps": qps,
+        "recall": rec,
+        "build_s": build_s,
+        "build_rate": n / build_s,
+        "ef": cfg.ef_search,
+    }
+
+
+def bench_cpu_baseline(x: np.ndarray, queries: np.ndarray) -> dict:
+    """CPU-HNSW anchor on identical data (cached)."""
+    key = f"{N}x{D}-seed{SEED}"
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            cache = json.load(fh)
+        if key in cache:
+            return cache[key]
+    if os.environ.get("VST_BENCH_SKIP_BASELINE") == "1":
+        return {"qps": 0.0, "recall": 0.0}
+
+    from vector_store_tpu.utils.native import HnswBaseline
+
+    n, d = x.shape
+    t0 = time.time()
+    h = HnswBaseline(d, m=16, ef_construction=128, space="cosine")
+    h.add(x)
+    build_s = time.time() - t0
+
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    exact = np.argsort(1.0 - qn @ xn.T, axis=1)[:, :K]
+
+    result = None
+    for ef in (32, 48, 64, 96, 128, 192, 256):
+        t0 = time.time()
+        _, ids = h.search(queries, K, ef=ef)
+        qps = len(queries) / (time.time() - t0)
+        rec = recall_of(ids, exact)
+        print(f"# cpu ef={ef}: recall={rec:.3f} qps={qps:.0f}", file=sys.stderr)
+        result = {"qps": qps, "recall": rec, "build_s": build_s, "ef": ef}
+        if rec >= TARGET_RECALL:
+            break
+
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            cache = json.load(fh)
+    cache[key] = result
+    with open(BASELINE_CACHE, "w") as fh:
+        json.dump(cache, fh, indent=1)
+    return result
+
+
+def main() -> None:
+    x, queries = make_dataset(N, D, Q)
+    tpu = bench_tpu(x, queries)
+    print(
+        f"# tpu: qps={tpu['qps']:.0f} recall={tpu['recall']:.3f} "
+        f"build={tpu['build_rate']:.0f} vec/s (ef={tpu['ef']})",
+        file=sys.stderr,
+    )
+    base = bench_cpu_baseline(x, queries)
+    vs = tpu["qps"] / base["qps"] if base.get("qps") else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": f"QPS/chip at recall@10>={TARGET_RECALL} ({N}x{D}-d cosine)",
+                "value": round(tpu["qps"], 1),
+                "unit": "queries/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ def meta(name: str, dims: int = 3) -> IndexMetadata:
     )
 
 
-async def poll_until(cond, timeout=10.0):
+async def poll_until(cond, timeout=60.0):
     """Reference pattern: poll with yield until condition (usearch.rs:352-358)."""
     async with asyncio.timeout(timeout):
         while not await cond():

@@ -26,17 +26,25 @@ from .topk import INF, SENTINEL, topk_ascending
 @functools.partial(jax.jit, static_argnames=("space", "k", "chunk"))
 def search(
     queries: jnp.ndarray,  # [Q, D]
-    bank: jnp.ndarray,  # [N, D]  (padded capacity)
+    bank: jnp.ndarray,  # [N, D]  (padded capacity; f32/bf16/int8)
     valid: jnp.ndarray,  # [N] bool — live rows (tombstones false)
     space: str,
     k: int,
     chunk: int = 1 << 15,
+    scales: jnp.ndarray | None = None,  # [N] int8 dequant scales
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k: (dist[Q,k] ascending, ids[Q,k]); masked rows get
     (+inf, SENTINEL)."""
     N = bank.shape[0]
+    if scales is not None and bank.dtype == jnp.int8:
+        pass  # dequantised chunk-wise below / in the small-N branch
+    else:
+        scales = None
     if N <= chunk:
-        d = dist_mod.pairwise(queries, bank, space)
+        b = bank
+        if scales is not None:
+            b = (bank.astype(jnp.float32) * scales[:, None]).astype(jnp.bfloat16)
+        d = dist_mod.pairwise(queries, b, space)
         d = jnp.where(valid[None, :], d, INF)
         top_d, top_i = topk_ascending(d, min(k, N))
         top_i = jnp.where(jnp.isinf(top_d), SENTINEL, top_i)
@@ -54,6 +62,12 @@ def search(
         valid = jnp.pad(valid, (0, pad_n - N))
     bank_c = bank.reshape(n_chunks, chunk, bank.shape[1])
     valid_c = valid.reshape(n_chunks, chunk)
+    scales_c = (
+        jnp.pad(scales, (0, pad_n - N)).reshape(n_chunks, chunk)
+        if scales is not None
+        else jnp.ones((n_chunks, chunk), dtype=jnp.float32)
+    )
+    dequant = scales is not None
 
     Q = queries.shape[0]
     init = (
@@ -63,7 +77,11 @@ def search(
 
     def body(carry, inp):
         best_d, best_i = carry
-        chunk_vecs, chunk_valid, chunk_idx = inp
+        chunk_vecs, chunk_valid, chunk_scale, chunk_idx = inp
+        if dequant:
+            chunk_vecs = (
+                chunk_vecs.astype(jnp.float32) * chunk_scale[:, None]
+            ).astype(jnp.bfloat16)
         d = dist_mod.pairwise(queries, chunk_vecs, space)
         d = jnp.where(chunk_valid[None, :], d, INF)
         cd, ci = topk_ascending(d, min(k, chunk))
@@ -76,6 +94,8 @@ def search(
         return (nd, ni), None
 
     (best_d, best_i), _ = jax.lax.scan(
-        body, init, (bank_c, valid_c, jnp.arange(n_chunks, dtype=jnp.int32))
+        body,
+        init,
+        (bank_c, valid_c, scales_c, jnp.arange(n_chunks, dtype=jnp.int32)),
     )
     return best_d, best_i

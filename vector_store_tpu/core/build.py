@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from . import distance as dist_mod
-from .graph import GraphConfig, GraphState, gather_rows
+from .graph import GraphConfig, GraphState, gather_rows, gather_vectors, store_vectors
 from .search import search_pool
 from .topk import INF, SENTINEL, topk_ascending
 
@@ -72,12 +72,16 @@ def _robust_prune(
     """
     M, C = cand_dist.shape
     R = cfg.degree
+    K_near = cfg.n_keep_nearest
     pd = _pairwise_batched(cand_vecs, cfg.space)  # [M, C, C]
 
     def body(carry, t):
         removed, kept, kept_cnt = carry
+        # hybrid rule: the first K_near sorted candidates bypass the
+        # domination check (pure nearest neighbours), the rest must
+        # survive the α-diversity rule
         can_keep = (
-            ~removed[:, t]
+            ((t < K_near) | ~removed[:, t])
             & (cand_dist[:, t] < INF)
             & (kept_cnt < R)
         )  # [M]
@@ -177,9 +181,8 @@ def insert_impl(
     M = vecs.shape[0]
     C = state.capacity
     slots = base_slot + jnp.arange(M, dtype=jnp.int32)
-    vecs = dist_mod.preprocess(vecs.astype(jnp.float32), cfg.space).astype(
-        state.vectors.dtype
-    )
+    vecs_f32 = dist_mod.preprocess(vecs.astype(jnp.float32), cfg.space)
+    vecs = vecs_f32.astype(cfg.compute_dtype)
 
     # --- 1. candidates from the existing graph (pre-batch state).
     g_dist, g_ids = search_pool(state, vecs, insert_cfg(cfg))  # [M, P]
@@ -202,7 +205,7 @@ def insert_impl(
     # --- 2. robust prune → forward edges.
     # Candidate vectors: graph rows from storage, batch rows from `vecs`.
     is_batch = cand_ids >= state.frontier
-    from_store, is_sent = gather_rows(state.vectors, cand_ids)
+    from_store, is_sent = gather_vectors(state, cand_ids, cfg)
     batch_pos = jnp.clip(cand_ids - base_slot, 0, M - 1)
     from_batch = jnp.take(vecs, batch_pos, axis=0)  # [M, pool, D]
     cand_vecs = jnp.where((is_batch & ~is_sent)[..., None], from_batch, from_store)
@@ -210,7 +213,9 @@ def insert_impl(
 
     # --- 3. write rows (padding lanes scatter out of bounds → dropped).
     w = jnp.where(live, slots, C)
-    vectors = state.vectors.at[w].set(vecs, mode="drop")
+    store_rows, store_scales = store_vectors(vecs_f32, cfg)
+    vectors = state.vectors.at[w].set(store_rows, mode="drop")
+    scales = state.scales.at[w].set(store_scales, mode="drop")
     neighbors = state.neighbors.at[w].set(sel_i, mode="drop")
     nbr_dist = state.nbr_dist.at[w].set(sel_d, mode="drop")
     valid = state.valid.at[w].set(True, mode="drop")
@@ -237,6 +242,7 @@ def insert_impl(
     )
     return GraphState(
         vectors=vectors,
+        scales=scales,
         neighbors=neighbors,
         nbr_dist=nbr_dist,
         valid=valid,
@@ -264,3 +270,86 @@ insert = functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,
     insert_impl
 )
 delete = functools.partial(jax.jit, donate_argnums=(0,))(delete_impl)
+
+
+# ---------------------------------------------------------------------------
+# Graph refinement — batched NN-descent local join.
+#
+# Incremental insertion builds each node's edges against the graph *as it
+# existed at insert time*, so early nodes never see later arrivals and
+# edge quality is bounded by insert-order luck.  The refinement sweep is
+# the TPU-idiomatic fix (no counterpart in usearch, which mutates one
+# node at a time): for a block of nodes, take the 2-hop neighbourhood
+# (R + R² candidates via two adjacency gathers), score it with one
+# batched MXU matmul, α-prune to R, and rewrite the block's rows.  A pass
+# over all nodes is a handful of large fused steps per block — exactly
+# the shape XLA loves — and one or two passes recover CAGRA-grade edge
+# quality from any half-decent initial graph.
+
+
+def refine_block_impl(
+    state: GraphState,
+    base_slot: jnp.ndarray,  # [] int32 — block start (contiguous rows)
+    block: int,  # static block size
+    cfg: GraphConfig,
+) -> GraphState:
+    """Recompute forward edges of rows [base, base+block) from their
+    2-hop neighbourhood; symmetrise via the same reverse-edge rounds."""
+    C = state.capacity
+    R = cfg.degree
+    slots = base_slot + jnp.arange(block, dtype=jnp.int32)
+    in_range = slots < state.frontier
+    node_vecs, _ = gather_vectors(state, slots, cfg)  # [B, D]
+
+    # 1-hop + 2-hop candidate ids.
+    safe = jnp.clip(slots, 0, C - 1)
+    hop1 = jnp.take(state.neighbors, safe, axis=0)  # [B, R]
+    hop1_safe = jnp.clip(hop1, 0, C - 1)
+    hop2 = jnp.take(state.neighbors, hop1_safe.reshape(-1), axis=0).reshape(
+        block, R * R
+    )
+    hop2 = jnp.where(
+        (hop1 == SENTINEL)[:, :, None].repeat(R, axis=2).reshape(block, R * R),
+        SENTINEL,
+        hop2,
+    )
+    cand_ids = jnp.concatenate([hop1, hop2], axis=1)  # [B, R + R²]
+
+    # Dedup (2-hop sets overlap heavily), drop self, keep best pool.
+    cand_vecs, is_sent = gather_vectors(state, cand_ids, cfg)
+    cand_dist = dist_mod.gathered(node_vecs, cand_vecs, cfg.space)
+    bad = is_sent | (cand_ids == slots[:, None])
+    cand_dist = jnp.where(bad, INF, cand_dist)
+    cand_ids = jnp.where(bad, SENTINEL, cand_ids)
+    from .topk import dedup_by_id
+
+    cand_dist, cand_ids = dedup_by_id(cand_dist, cand_ids)
+    pool = min(cfg.ef_add, cand_dist.shape[1])
+    cand_dist, pos = topk_ascending(cand_dist, pool)
+    cand_ids = jnp.take_along_axis(cand_ids, pos, axis=-1)
+
+    cand_vecs, _ = gather_vectors(state, cand_ids, cfg)  # re-gather pooled
+    sel_d, sel_i = _robust_prune(cand_dist, cand_ids, cand_vecs, cfg)
+
+    w = jnp.where(in_range, slots, C)
+    neighbors = state.neighbors.at[w].set(sel_i, mode="drop")
+    nbr_dist = state.nbr_dist.at[w].set(sel_d, mode="drop")
+
+    # Symmetrise: offer each refined edge to its target too.
+    tgt = sel_i.reshape(-1)
+    src = jnp.broadcast_to(slots[:, None], (block, R)).reshape(-1)
+    d = sel_d.reshape(-1)
+    e_live = (
+        jnp.broadcast_to(in_range[:, None], (block, R)).reshape(-1)
+        & (tgt != SENTINEL)
+        & (d < INF)
+    )
+    neighbors, nbr_dist = _apply_reverse_edges(
+        neighbors, nbr_dist, tgt, src, d, e_live
+    )
+    return state._replace(neighbors=neighbors, nbr_dist=nbr_dist)
+
+
+refine_block = functools.partial(
+    jax.jit, static_argnames=("block", "cfg"), donate_argnums=(0,)
+)(refine_block_impl)

@@ -43,7 +43,8 @@ INVALID = 2**31 - 1  # SENTINEL as python int
 
 
 class GraphState(NamedTuple):
-    vectors: jnp.ndarray  # [C, D]
+    vectors: jnp.ndarray  # [C, D] storage dtype (f32 / bf16 / int8)
+    scales: jnp.ndarray  # [C] f32 per-row dequant scale (1.0 unless int8)
     neighbors: jnp.ndarray  # [C, R] int32
     nbr_dist: jnp.ndarray  # [C, R] f32
     valid: jnp.ndarray  # [C] bool
@@ -75,10 +76,19 @@ class GraphConfig:
     beam_width: int = 4  # nodes expanded per search iteration
     iters: int = 0  # 0 → derived: max(8, ef_search // beam_width)
     space: str = "cosine"
-    dtype: str = "bfloat16"  # storage dtype of vectors
+    dtype: str = "bfloat16"  # storage dtype: "float32" | "bfloat16" | "int8"
     routing_sample: int = 1024  # strided sample scored by matmul for entry
     entry_points: int = 8  # entries per query taken from the routing stage
     prune_alpha: float = 1.2  # robust-prune slack (DiskANN-style)
+    # Hybrid edge selection: the first `keep_nearest` edges are the plain
+    # nearest candidates (guarantees the true k-NN stay edge-covered in
+    # tight clusters); the rest are α-diverse (keeps long-range
+    # navigability).  0 → pure diversity prune.  Default: half degree.
+    keep_nearest: int = -1  # -1 → degree // 2
+
+    @property
+    def n_keep_nearest(self) -> int:
+        return self.degree // 2 if self.keep_nearest < 0 else self.keep_nearest
 
     @property
     def search_iters(self) -> int:
@@ -86,13 +96,27 @@ class GraphConfig:
 
     @property
     def jdtype(self):
-        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+        return {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[self.dtype]
+
+    @property
+    def quantized(self) -> bool:
+        return self.dtype == "int8"
+
+    @property
+    def compute_dtype(self):
+        """Dtype distance math runs in (int8 banks dequantise to bf16)."""
+        return jnp.float32 if self.dtype == "float32" else jnp.bfloat16
 
 
 def init(cfg: GraphConfig, capacity: int) -> GraphState:
     """Fresh empty index with reserved capacity (usearch.rs:98-99 reserve)."""
     return GraphState(
         vectors=jnp.zeros((capacity, cfg.dims), dtype=cfg.jdtype),
+        scales=jnp.ones((capacity,), dtype=jnp.float32),
         neighbors=jnp.full((capacity, cfg.degree), INVALID, dtype=jnp.int32),
         nbr_dist=jnp.full((capacity, cfg.degree), jnp.inf, dtype=jnp.float32),
         valid=jnp.zeros((capacity,), dtype=bool),
@@ -113,6 +137,7 @@ def grow(state: GraphState, new_capacity: int) -> GraphState:
     pad = new_capacity - c
     return GraphState(
         vectors=jnp.pad(state.vectors, ((0, pad), (0, 0))),
+        scales=jnp.pad(state.scales, (0, pad), constant_values=1.0),
         neighbors=jnp.pad(state.neighbors, ((0, pad), (0, 0)), constant_values=INVALID),
         nbr_dist=jnp.pad(state.nbr_dist, ((0, pad), (0, 0)), constant_values=jnp.inf),
         valid=jnp.pad(state.valid, (0, pad)),
@@ -132,6 +157,35 @@ def gather_rows(
     is_sent = ids >= vectors.shape[0]
     safe = jnp.clip(ids, 0, vectors.shape[0] - 1)
     return jnp.take(vectors, safe, axis=0), is_sent
+
+
+def gather_vectors(
+    state: GraphState, ids: jnp.ndarray, cfg: GraphConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather rows in compute dtype, dequantising int8 banks on the fly.
+
+    The gather itself moves the narrow (1 byte/dim) representation from
+    HBM; dequantisation happens on-chip, which is the whole point of the
+    int8 mode (BASELINE config 3 memory parity)."""
+    rows, is_sent = gather_rows(state.vectors, ids)
+    if cfg.quantized:
+        safe = jnp.clip(ids, 0, state.capacity - 1)
+        sc = jnp.take(state.scales, safe)
+        rows = (rows.astype(jnp.float32) * sc[..., None]).astype(
+            cfg.compute_dtype
+        )
+    return rows, is_sent
+
+
+def store_vectors(vecs_f32: jnp.ndarray, cfg: GraphConfig):
+    """Preprocessed f32 rows → (storage rows, scales) for the bank."""
+    from .quantize import quantize_rows
+
+    if cfg.quantized:
+        return quantize_rows(vecs_f32)
+    return vecs_f32.astype(cfg.jdtype), jnp.ones(
+        (vecs_f32.shape[0],), dtype=jnp.float32
+    )
 
 
 def routing_entries(
@@ -154,7 +208,7 @@ def routing_entries(
     stride = max(C // S, 1)
     sample_ids = (jnp.arange(S, dtype=jnp.int32) * stride) % C
     in_range = sample_ids < state.frontier
-    sample_vecs = jnp.take(state.vectors, sample_ids, axis=0)  # [S, D]
+    sample_vecs, _ = gather_vectors(state, sample_ids, cfg)  # [S, D]
     d = dist_mod.pairwise(queries, sample_vecs, cfg.space)  # [Q, S]
     d = jnp.where(in_range[None, :], d, jnp.inf)
     E = min(cfg.entry_points, S)

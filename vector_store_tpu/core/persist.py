@@ -37,6 +37,7 @@ def save(path: str, index: SlotIndex, keymap_blob: Optional[dict] = None) -> Non
     np.savez_compressed(
         path,
         vectors=np.asarray(state.vectors.astype(jnp.float32)),
+        scales=np.asarray(state.scales),
         neighbors=np.asarray(state.neighbors),
         nbr_dist=np.asarray(state.nbr_dist),
         valid=np.asarray(state.valid),
@@ -67,6 +68,7 @@ def load(path: str) -> tuple[SlotIndex, dict]:
         index._lock = threading.Lock()
         index._state = GraphState(
             vectors=jnp.asarray(z["vectors"]).astype(cfg.jdtype),
+            scales=jnp.asarray(z["scales"]),
             neighbors=jnp.asarray(z["neighbors"]),
             nbr_dist=jnp.asarray(z["nbr_dist"]),
             valid=jnp.asarray(z["valid"]),

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from . import distance as dist_mod
-from .graph import GraphConfig, GraphState, gather_rows, routing_entries
+from .graph import GraphConfig, GraphState, gather_vectors, routing_entries
 from .topk import INF, SENTINEL, merge_pool, topk_ascending
 
 
@@ -67,7 +67,7 @@ def _expand_round(state: GraphState, queries: jnp.ndarray, cfg: GraphConfig, poo
     cand_ids = nbrs.reshape(Q, B * R)
 
     # 4. gather vectors, score, mask sentinels.
-    cand_vecs, is_sent = gather_rows(state.vectors, cand_ids)  # [Q, B*R, D]
+    cand_vecs, is_sent = gather_vectors(state, cand_ids, cfg)  # [Q, B*R, D]
     cand_dist = dist_mod.gathered(queries, cand_vecs, cfg.space)
     cand_dist = jnp.where(is_sent, INF, cand_dist)
     cand_ids = jnp.where(is_sent, SENTINEL, cand_ids)
@@ -113,7 +113,7 @@ def search_impl(
     """
     queries = dist_mod.preprocess(
         queries.astype(jnp.float32), cfg.space
-    ).astype(state.vectors.dtype)
+    ).astype(cfg.compute_dtype)
     pool_dist, pool_ids = search_pool(state, queries, cfg)
 
     # Tombstone filter: dead nodes helped traversal but must not be returned

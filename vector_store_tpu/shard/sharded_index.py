@@ -51,6 +51,7 @@ def _stack_init(cfg: GraphConfig, n_shards: int, capacity: int, mesh: Mesh) -> G
     )
     return GraphState(
         vectors=mk((n_shards, capacity, cfg.dims), cfg.jdtype, 0),
+        scales=mk((n_shards, capacity), jnp.float32, 1.0),
         neighbors=mk((n_shards, capacity, cfg.degree), jnp.int32, INVALID),
         nbr_dist=mk((n_shards, capacity, cfg.degree), jnp.float32, jnp.inf),
         valid=mk((n_shards, capacity), bool, False),
@@ -93,7 +94,7 @@ def _sharded_search(state, queries, cfg, k, mesh_holder):
     return _shard_map_fn(
         fn,
         mesh=mesh,
-        in_specs=(GraphState(*([P(SHARD_AXIS)] * 6)), P()),
+        in_specs=(GraphState(*([P(SHARD_AXIS)] * 7)), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )(state, queries)
@@ -116,12 +117,12 @@ def _sharded_insert(state, bases, vecs, live, cfg, mesh_holder):
         fn,
         mesh=mesh,
         in_specs=(
-            GraphState(*([P(SHARD_AXIS)] * 6)),
+            GraphState(*([P(SHARD_AXIS)] * 7)),
             P(SHARD_AXIS),
             P(SHARD_AXIS),
             P(SHARD_AXIS),
         ),
-        out_specs=GraphState(*([P(SHARD_AXIS)] * 6)),
+        out_specs=GraphState(*([P(SHARD_AXIS)] * 7)),
         check_vma=False,
     )(state, bases, vecs, live)
 
@@ -140,11 +141,11 @@ def _sharded_delete(state, slots, live, mesh_holder):
         fn,
         mesh=mesh,
         in_specs=(
-            GraphState(*([P(SHARD_AXIS)] * 6)),
+            GraphState(*([P(SHARD_AXIS)] * 7)),
             P(SHARD_AXIS),
             P(SHARD_AXIS),
         ),
-        out_specs=GraphState(*([P(SHARD_AXIS)] * 6)),
+        out_specs=GraphState(*([P(SHARD_AXIS)] * 7)),
         check_vma=False,
     )(state, slots, live)
 
@@ -179,13 +180,13 @@ class ShardedSlotIndex:
         initial_capacity_per_shard: int | None = None,
     ) -> None:
         self.params = params
-        self.cfg = config_from_params(params)
         self.mesh = mesh or make_mesh(n_devices)
         self._holder = _MeshHolder(self.mesh)
         self.n_shards = self.mesh.devices.size
         cap = initial_capacity_per_shard or max(
             min(params.capacity // self.n_shards, 1 << 16), 2 * INSERT_BLOCK
         )
+        self.cfg = config_from_params(params, cap)
         self._state = _stack_init(self.cfg, self.n_shards, cap, self.mesh)
         self._frontiers = np.zeros((self.n_shards,), dtype=np.int64)
         self._sizes = np.zeros((self.n_shards,), dtype=np.int64)
@@ -220,6 +221,7 @@ class ShardedSlotIndex:
         put = lambda a: jax.device_put(a, sh)
         self._state = GraphState(
             vectors=put(jnp.pad(s.vectors, ((0, 0), (0, pad), (0, 0)))),
+            scales=put(jnp.pad(s.scales, ((0, 0), (0, pad)), constant_values=1.0)),
             neighbors=put(
                 jnp.pad(s.neighbors, ((0, 0), (0, pad), (0, 0)), constant_values=INVALID)
             ),
@@ -229,6 +231,13 @@ class ShardedSlotIndex:
             valid=put(jnp.pad(s.valid, ((0, 0), (0, pad)))),
             size=s.size,
             frontier=s.frontier,
+        )
+        import dataclasses as _dc
+
+        from ..core.index import routing_sample_for
+
+        self.cfg = _dc.replace(
+            self.cfg, routing_sample=routing_sample_for(new_cap)
         )
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
