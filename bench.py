@@ -78,10 +78,15 @@ def recall_of(ids: np.ndarray, exact: np.ndarray) -> float:
 
 
 def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
+    """Bench both device backends — graph beam search and the exact MXU
+    scan (approx-top-k selection) — and report the fastest one clearing
+    the recall bar.  Both are first-class index kinds in the service
+    ("ann" / "exact"); a user picks per collection."""
     import jax
     import jax.numpy as jnp
 
-    from vector_store_tpu.core import SlotIndex
+    from vector_store_tpu.core import SlotIndex, bruteforce
+    from vector_store_tpu.core import distance as dist_mod
     from vector_store_tpu.core import search as search_mod
     from vector_store_tpu.types import IndexParams
 
@@ -95,8 +100,36 @@ def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
     idx.add(x)
     build_s = time.time() - t0
 
-    _, exact = idx.exact_search(queries, K)
+    # ground truth: exact scan with exact (sort-based) selection
+    state = idx.state
+    qp = dist_mod.preprocess(jnp.asarray(queries), "cosine").astype(
+        idx.cfg.compute_dtype
+    )
+    _, exact_ids = bruteforce.search(
+        qp, state.vectors, state.valid, "cosine", K, approx=False
+    )
+    exact = np.asarray(exact_ids)
 
+    def timed(fn, reps=10):
+        out = fn()
+        jax.block_until_ready(out)
+        rec = recall_of(np.asarray(out[1]), exact)
+        t0 = time.time()
+        outs = [fn() for _ in range(reps)]
+        jax.block_until_ready(outs)
+        return reps * len(queries) / (time.time() - t0), rec
+
+    candidates = []
+
+    # exact-scan backend (recall ~0.99: only the selection is approximate)
+    scan_qps, scan_rec = timed(
+        lambda: bruteforce.search(qp, state.vectors, state.valid, "cosine", K)
+    )
+    print(f"# scan: recall@10={scan_rec:.3f} qps={scan_qps:.0f}", file=sys.stderr)
+    if scan_rec >= TARGET_RECALL:
+        candidates.append(("exact-scan", scan_qps, scan_rec, 0))
+
+    # graph backend: ef ladder to the bar
     qdev = jnp.asarray(queries)
     best = None
     for knobs in EF_LADDER:
@@ -104,25 +137,28 @@ def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
         d_, i_ = search_mod.search(idx.state, qdev, cfg, K)
         jax.block_until_ready((d_, i_))
         rec = recall_of(np.asarray(i_), exact)
-        print(f"# ef={knobs['ef_search']}: recall@10={rec:.3f}", file=sys.stderr)
+        print(f"# graph ef={knobs['ef_search']}: recall@10={rec:.3f}", file=sys.stderr)
+        best = (cfg, rec)
         if rec >= TARGET_RECALL:
-            best = (cfg, rec)
             break
-        best = (cfg, rec)  # keep last (highest) if bar never cleared
     cfg, rec = best
+    graph_qps, graph_rec = timed(
+        lambda: search_mod.search(idx.state, qdev, cfg, K)
+    )
+    print(f"# graph: recall@10={graph_rec:.3f} qps={graph_qps:.0f}", file=sys.stderr)
+    if graph_rec >= TARGET_RECALL or not candidates:
+        candidates.append(
+            (f"graph-ef{cfg.ef_search}", graph_qps, graph_rec, cfg.ef_search)
+        )
 
-    # QPS: async-dispatch a pipeline of batched searches, block on the last
-    reps = 10
-    t0 = time.time()
-    outs = [search_mod.search(idx.state, qdev, cfg, K) for _ in range(reps)]
-    jax.block_until_ready(outs[-1])
-    qps = reps * len(queries) / (time.time() - t0)
+    name, qps, rec, ef = max(candidates, key=lambda c: c[1])
     return {
         "qps": qps,
         "recall": rec,
         "build_s": build_s,
         "build_rate": n / build_s,
-        "ef": cfg.ef_search,
+        "ef": ef,
+        "backend": name,
     }
 
 
@@ -174,8 +210,8 @@ def main() -> None:
     x, queries = make_dataset(N, D, Q)
     tpu = bench_tpu(x, queries)
     print(
-        f"# tpu: qps={tpu['qps']:.0f} recall={tpu['recall']:.3f} "
-        f"build={tpu['build_rate']:.0f} vec/s (ef={tpu['ef']})",
+        f"# tpu[{tpu['backend']}]: qps={tpu['qps']:.0f} recall={tpu['recall']:.3f} "
+        f"build={tpu['build_rate']:.0f} vec/s",
         file=sys.stderr,
     )
     base = bench_cpu_baseline(x, queries)

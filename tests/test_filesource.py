@@ -33,7 +33,7 @@ async def test_jsonl_source_pipeline(rng):
         mon = MonitorIndexes(src, engine, tick_s=0.01)
         mon.spawn()
         try:
-            async with asyncio.timeout(30):
+            async with asyncio.timeout(120):
                 while (await engine.get_index_ids()) == []:
                     await asyncio.sleep(0)
                 actor = await engine.get_index(IndexId("files.vecs"))

@@ -73,6 +73,10 @@ def _expand_round(state: GraphState, queries: jnp.ndarray, cfg: GraphConfig, poo
     cand_ids = jnp.where(is_sent, SENTINEL, cand_ids)
 
     # 5. merge into pool (dedup keeps expanded copies).
+    if cfg.approx_topk:
+        from .topk import merge_pool_fast
+
+        return merge_pool_fast(pool_dist, pool_ids, pool_exp, cand_dist, cand_ids)
     return merge_pool(pool_dist, pool_ids, pool_exp, cand_dist, cand_ids)
 
 

@@ -22,6 +22,66 @@ def topk_ascending(dist: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]
     return -neg, idx
 
 
+def topk_ascending_approx(
+    dist: jnp.ndarray, k: int, recall_target: float = 0.99
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Smallest-k via the TPU-native approximate top-k unit.
+
+    `lax.approx_min_k` avoids the O(n log n) XLA sort — on TPU it runs as
+    a partial-reduction at near-memory-bandwidth speed.  Used on the big
+    reductions (routing stage over the C/8 sample); exact top_k stays on
+    the small final extractions.
+    """
+    val, idx = jax.lax.approx_min_k(dist, k, recall_target=recall_target)
+    return val, idx
+
+
+def merge_pool_fast(
+    pool_dist: jnp.ndarray,  # [Q, P] ascending
+    pool_ids: jnp.ndarray,  # [Q, P]
+    pool_expanded: jnp.ndarray,  # [Q, P] bool
+    new_dist: jnp.ndarray,  # [Q, C]
+    new_ids: jnp.ndarray,  # [Q, C]
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort-free pool merge: membership-matrix dedup + one top-k.
+
+    Replaces the 3-operand lexicographic sort of `merge_pool` with
+    VPU-shaped work: new candidates are masked out if already present in
+    the pool (an O(P·C) equality matrix — P and C are both ≲256, so the
+    matrix is tiny next to the vector gathers), and duplicates *within*
+    the new block are masked by a single-key sort over just the ids.
+    The survivors then meet the pool in one exact top-k over P+C lanes.
+    """
+    P = pool_dist.shape[-1]
+
+    # within-new dedup: single-key sort of the ids (order of the new
+    # block doesn't matter downstream — everything meets a top-k), mask
+    # adjacent equals.
+    ids_s, dist_s = jax.lax.sort((new_ids, new_dist), num_keys=1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(ids_s[..., :1], dtype=bool), ids_s[..., 1:] == ids_s[..., :-1]],
+        axis=-1,
+    )
+    # new vs pool: kill any candidate already present (pool copy keeps
+    # its expanded flag — membership in pool IS the visited set).
+    in_pool = jnp.any(
+        ids_s[:, :, None] == pool_ids[:, None, :], axis=-1
+    )  # [Q, C]
+    bad = in_pool | dup
+    new_dist = jnp.where(bad, INF, dist_s)
+    new_ids = jnp.where(bad, SENTINEL, ids_s)
+
+    all_dist = jnp.concatenate([pool_dist, new_dist], axis=-1)
+    all_ids = jnp.concatenate([pool_ids, new_ids], axis=-1)
+    all_exp = jnp.concatenate(
+        [pool_expanded, jnp.zeros_like(new_dist, dtype=bool)], axis=-1
+    )
+    top_d, pos = topk_ascending(all_dist, P)
+    top_i = jnp.take_along_axis(all_ids, pos, axis=-1)
+    top_e = jnp.take_along_axis(all_exp, pos, axis=-1)
+    return top_d, top_i, top_e
+
+
 def dedup_by_id(
     dist: jnp.ndarray,  # [..., C]
     ids: jnp.ndarray,  # [..., C] int32
