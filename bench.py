@@ -110,20 +110,41 @@ def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
     )
     exact = np.asarray(exact_ids)
 
-    def timed(fn, reps=10):
-        out = fn()
-        jax.block_until_ready(out)
-        rec = recall_of(np.asarray(out[1]), exact)
-        t0 = time.time()
-        outs = [fn() for _ in range(reps)]
-        jax.block_until_ready(outs)
-        return reps * len(queries) / (time.time() - t0), rec
+    @jax.jit
+    def _combine(*xs):
+        # one jitted reducer over all outputs: forces every dispatch to
+        # have executed, with a single extra dispatch + scalar readback
+        return sum(x[0, 0].astype(jnp.float32) for x in xs)
+
+    def timed(fn, reps=10, blocks=3):
+        """Honest device timing on a noisy remote backend: distinct
+        inputs per rep (duplicate dispatches are elided), completion
+        forced through one jitted combine + scalar readback
+        (block_until_ready returns early here), min over blocks
+        (tunnel latency noise is large and one-sided)."""
+        out = fn(0)
+        rec = recall_of(np.asarray(out[1]), exact)  # forces completion
+        outs = [fn(r) for r in range(reps)]
+        float(np.asarray(_combine(*[o[0] for o in outs])))  # warm
+        best = float("inf")
+        for _ in range(blocks):
+            t0 = time.time()
+            outs = [fn(r) for r in range(reps)]
+            float(np.asarray(_combine(*[o[0] for o in outs])))
+            best = min(best, (time.time() - t0) / reps)
+        return len(queries) / best, rec
 
     candidates = []
 
+    # distinct per-rep query batches (rolled) to defeat dispatch dedup
+    qp_vars = [jnp.roll(qp, r, axis=0) for r in range(12)]
+    qdev_vars = [jnp.roll(jnp.asarray(queries), r, axis=0) for r in range(12)]
+
     # exact-scan backend (recall ~0.99: only the selection is approximate)
     scan_qps, scan_rec = timed(
-        lambda: bruteforce.search(qp, state.vectors, state.valid, "cosine", K)
+        lambda r: bruteforce.search(
+            qp_vars[r % 12], state.vectors, state.valid, "cosine", K
+        )
     )
     print(f"# scan: recall@10={scan_rec:.3f} qps={scan_qps:.0f}", file=sys.stderr)
     if scan_rec >= TARGET_RECALL:
@@ -143,7 +164,7 @@ def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
             break
     cfg, rec = best
     graph_qps, graph_rec = timed(
-        lambda: search_mod.search(idx.state, qdev, cfg, K)
+        lambda r: search_mod.search(idx.state, qdev_vars[r % 12], cfg, K)
     )
     print(f"# graph: recall@10={graph_rec:.3f} qps={graph_qps:.0f}", file=sys.stderr)
     if graph_rec >= TARGET_RECALL or not candidates:

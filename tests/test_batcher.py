@@ -1,0 +1,59 @@
+"""MicroBatcher unit tests: coalescing, overflow, error fan-out."""
+
+import asyncio
+
+import pytest
+
+from vector_store_tpu.engine.batcher import MicroBatcher
+
+
+@pytest.mark.asyncio
+async def test_batcher_coalesces_concurrent_submissions():
+    batches = []
+
+    def flush(items):
+        batches.append(list(items))
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(flush, max_batch=64, window_s=0.005)
+    results = await asyncio.gather(*(b.submit(i) for i in range(10)))
+    assert results == [i * 2 for i in range(10)]
+    # all ten went through few flushes (coalesced), not ten
+    assert len(batches) <= 3
+    await b.close()
+
+
+@pytest.mark.asyncio
+async def test_batcher_max_batch_overflow():
+    sizes = []
+
+    def flush(items):
+        sizes.append(len(items))
+        return items
+
+    b = MicroBatcher(flush, max_batch=4, window_s=0.001)
+    results = await asyncio.gather(*(b.submit(i) for i in range(10)))
+    assert sorted(results) == list(range(10))
+    assert max(sizes) <= 4
+    await b.close()
+
+
+@pytest.mark.asyncio
+async def test_batcher_error_propagates_to_all_waiters():
+    def flush(items):
+        raise RuntimeError("device on fire")
+
+    b = MicroBatcher(flush, max_batch=8, window_s=0.001)
+    results = await asyncio.gather(
+        *(b.submit(i) for i in range(3)), return_exceptions=True
+    )
+    assert all(isinstance(r, RuntimeError) for r in results)
+    await b.close()
+
+
+@pytest.mark.asyncio
+async def test_batcher_rejects_after_close():
+    b = MicroBatcher(lambda items: items, max_batch=8)
+    await b.close()
+    with pytest.raises(RuntimeError):
+        await b.submit(1)

@@ -49,10 +49,18 @@ class AnnIndexBackend:
         exact: bool = False,
         max_batch: int = 256,
         window_s: float = 0.002,
+        n_devices: int = 1,
     ) -> None:
         self.index_id = index_id
         self.params = params
-        self.index = SlotIndex(params, exact=exact)
+        if n_devices > 1:
+            # document-sharded index over the device mesh (SlotIndex and
+            # ShardedSlotIndex expose the same add/remove/search/count API)
+            from ..shard.sharded_index import ShardedSlotIndex
+
+            self.index = ShardedSlotIndex(params, n_devices=n_devices)
+        else:
+            self.index = SlotIndex(params, exact=exact)
         self.keymap = KeyMap()
         self._batcher = MicroBatcher(
             self._run_query_batch, max_batch=max_batch, window_s=window_s
@@ -89,7 +97,7 @@ class AnnIndexBackend:
             if old is not None:
                 dead.append(old)
         if dead:
-            self.index.remove(np.asarray(dead, dtype=np.int32))
+            self.index.remove(np.asarray(dead, dtype=np.int64))
 
     # -- actor message handling ------------------------------------------
 
@@ -115,7 +123,7 @@ class AnnIndexBackend:
             slot = self.keymap.unbind(msg.key)
             if slot is not None:
                 await self._loop.run_in_executor(
-                    None, self.index.remove, np.asarray([slot], dtype=np.int32)
+                    None, self.index.remove, np.asarray([slot], dtype=np.int64)
                 )
         elif isinstance(msg, Ann):
             emb = self._check_dims(msg.embedding)
@@ -143,11 +151,13 @@ class AnnIndexFactory:
         exact: bool = False,
         max_batch: int = 256,
         window_s: float = 0.002,
+        n_devices: int = 1,
     ) -> None:
         self.default_params = default_params
         self.exact = exact
         self.max_batch = max_batch
         self.window_s = window_s
+        self.n_devices = n_devices
 
     def create_index(
         self, index_id: IndexId, metadata: Optional[IndexMetadata] = None
@@ -165,5 +175,6 @@ class AnnIndexFactory:
             exact=self.exact,
             max_batch=self.max_batch,
             window_s=self.window_s,
+            n_devices=self.n_devices,
         )
         return spawn_index_actor(backend, name=str(index_id))

@@ -8,6 +8,13 @@ concurrent requests into one fixed-shape batched device step.  The
 micro-batcher collects requests for up to `window_s` (or until
 `max_batch`), pads to the shape bucket and runs one device call in a
 worker thread, then fans results back out to each caller's future.
+
+Structure: submissions append to a pending list and wake a single
+drainer task.  The drainer waits out the batching window (cut short by
+the kick event when a full batch accumulates), flushes up to max_batch
+items through the device, and loops until the list is empty — so a
+burst larger than max_batch drains in consecutive device steps with no
+self-cancellation races.
 """
 
 from __future__ import annotations
@@ -33,7 +40,8 @@ class MicroBatcher:
         self._max_batch = max_batch
         self._window_s = window_s
         self._pending: list[tuple[Any, asyncio.Future]] = []
-        self._flusher: asyncio.Task | None = None
+        self._drainer: asyncio.Task | None = None
+        self._kick = asyncio.Event()
         self._closed = False
 
     async def submit(self, item: Any) -> Any:
@@ -42,52 +50,46 @@ class MicroBatcher:
         fut = asyncio.get_running_loop().create_future()
         self._pending.append((item, fut))
         if len(self._pending) >= self._max_batch:
-            self._spawn_flush(immediate=True)
-        else:
-            self._spawn_flush(immediate=False)
+            self._kick.set()
+        if self._drainer is None or self._drainer.done():
+            self._drainer = asyncio.get_running_loop().create_task(
+                self._drain()
+            )
         return await fut
 
-    def _spawn_flush(self, immediate: bool) -> None:
-        if self._flusher is None or self._flusher.done():
-            self._flusher = asyncio.get_running_loop().create_task(
-                self._flush_after(0 if immediate else self._window_s)
-            )
-        elif immediate:
-            # batch is full — flush now rather than waiting out the window
-            self._flusher.cancel()
-            self._flusher = asyncio.get_running_loop().create_task(
-                self._flush_after(0)
-            )
-
-    async def _flush_after(self, delay: float) -> None:
-        if delay:
-            await asyncio.sleep(delay)
-        batch, self._pending = self._pending[: self._max_batch], self._pending[
-            self._max_batch :
-        ]
-        if not batch:
-            return
-        if self._pending:  # leftover beyond max_batch → next round
-            self._spawn_flush(immediate=len(self._pending) >= self._max_batch)
-        items = [it for it, _ in batch]
-        loop = asyncio.get_running_loop()
-        try:
-            results = await loop.run_in_executor(None, self._flush_fn, items)
-            for (_, fut), res in zip(batch, results):
-                if not fut.done():
-                    fut.set_result(res)
-        except Exception as exc:  # noqa: BLE001 — propagate to callers
-            for _, fut in batch:
-                if not fut.done():
-                    fut.set_exception(exc)
+    async def _drain(self) -> None:
+        while self._pending:
+            # batching window: wait for more arrivals unless already full
+            if len(self._pending) < self._max_batch and self._window_s > 0:
+                try:
+                    await asyncio.wait_for(self._kick.wait(), self._window_s)
+                except asyncio.TimeoutError:
+                    pass
+            self._kick.clear()
+            batch = self._pending[: self._max_batch]
+            self._pending = self._pending[self._max_batch :]
+            if not batch:
+                return
+            items = [it for it, _ in batch]
+            loop = asyncio.get_running_loop()
+            try:
+                results = await loop.run_in_executor(
+                    None, self._flush_fn, items
+                )
+                for (_, fut), res in zip(batch, results):
+                    if not fut.done():
+                        fut.set_result(res)
+            except Exception as exc:  # noqa: BLE001 — propagate to callers
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
 
     async def close(self) -> None:
         self._closed = True
-        while self._pending or (self._flusher and not self._flusher.done()):
-            if self._flusher:
-                try:
-                    await self._flusher
-                except asyncio.CancelledError:
-                    pass
-            if self._pending and (self._flusher is None or self._flusher.done()):
-                self._spawn_flush(immediate=True)
+        while self._drainer is not None and not self._drainer.done():
+            self._kick.set()
+            await asyncio.sleep(0)
+            try:
+                await self._drainer
+            except asyncio.CancelledError:
+                pass
