@@ -32,19 +32,9 @@ def test_fast_merge_matches_sort_merge(rng):
         new_d_np = rng.random(C).astype(np.float32)
         # duplicate ids must carry the same distance (true in search: the
         # distance to a node is well-defined)
-        for arr_ids, arr_d in ((pool_ids_np, pool_d_np), (new_ids_np, new_d_np)):
-            pass
-        canon = {}
-        for ii, dd in zip(pool_ids_np, pool_d_np):
-            canon[int(ii)] = dd
+        canon = {int(ii): dd for ii, dd in zip(pool_ids_np, pool_d_np)}
         for j, ii in enumerate(new_ids_np):
-            if int(ii) in canon:
-                new_d_np[j] = canon[int(ii)]
-            else:
-                canon[int(ii)] = new_d_np[j]
-        dup_positions = {}
-        for j, ii in enumerate(new_ids_np):
-            new_d_np[j] = canon[int(ii)]
+            new_d_np[j] = canon.setdefault(int(ii), new_d_np[j])
 
         args = (
             jnp.asarray(pool_d_np)[None],

@@ -266,10 +266,42 @@ def delete_impl(state: GraphState, slots: jnp.ndarray, live: jnp.ndarray) -> Gra
     )
 
 
+def upload_impl(
+    state: GraphState,
+    base_slot: jnp.ndarray,  # [] int32
+    vecs: jnp.ndarray,  # [M, D]
+    live: jnp.ndarray,  # [M] bool
+    cfg: GraphConfig,
+) -> GraphState:
+    """Graph-free ingest for the exact-scan backend: write rows only.
+
+    The scan searches the flat bank, so building adjacency would be
+    wasted work — upload runs at copy speed (the reference has no such
+    mode; usearch always pays graph construction)."""
+    M = vecs.shape[0]
+    C = state.capacity
+    slots = base_slot + jnp.arange(M, dtype=jnp.int32)
+    vecs_f32 = dist_mod.preprocess(vecs.astype(jnp.float32), cfg.space)
+    w = jnp.where(live, slots, C)
+    store_rows, store_scales = store_vectors(vecs_f32, cfg)
+    return state._replace(
+        vectors=state.vectors.at[w].set(store_rows, mode="drop"),
+        scales=state.scales.at[w].set(store_scales, mode="drop"),
+        valid=state.valid.at[w].set(True, mode="drop"),
+        size=state.size + jnp.sum(live.astype(jnp.int32)),
+        frontier=jnp.maximum(
+            state.frontier, jnp.max(jnp.where(live, slots + 1, 0))
+        ),
+    )
+
+
 insert = functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))(
     insert_impl
 )
 delete = functools.partial(jax.jit, donate_argnums=(0,))(delete_impl)
+upload = functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))(
+    upload_impl
+)
 
 
 # ---------------------------------------------------------------------------

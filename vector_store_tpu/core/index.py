@@ -86,6 +86,9 @@ class SlotIndex:
         insert_block: int = INSERT_BLOCK,
     ) -> None:
         self.params = params
+        if exact:
+            # graph-free upload ingests in big blocks at copy speed
+            insert_block = max(insert_block, 4096)
         self.insert_block = insert_block
         cap = initial_capacity or min(params.capacity, 1 << 16)
         cap = max(cap, 2 * insert_block)
@@ -144,14 +147,17 @@ class SlotIndex:
             self._ensure_capacity(n)
             base = int(self._state.frontier)
             slots = np.arange(base, base + n, dtype=np.int32)
-            for off in range(0, n, self.insert_block):
-                blk = vectors[off : off + self.insert_block]
+            # exact mode never walks a graph — ingest at copy speed
+            step = build.upload if self._exact else build.insert
+            block = self.insert_block
+            for off in range(0, n, block):
+                blk = vectors[off : off + block]
                 m = blk.shape[0]
-                live = np.zeros((self.insert_block,), dtype=bool)
+                live = np.zeros((block,), dtype=bool)
                 live[:m] = True
-                if m < self.insert_block:
-                    blk = np.pad(blk, ((0, self.insert_block - m), (0, 0)))
-                self._state = build.insert(
+                if m < block:
+                    blk = np.pad(blk, ((0, block - m), (0, 0)))
+                self._state = step(
                     self._state,
                     jnp.int32(base + off),
                     jnp.asarray(blk),
