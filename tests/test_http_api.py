@@ -158,6 +158,35 @@ async def test_ann_surface_e2e():
 
 
 @pytest.mark.asyncio
+async def test_exact_kind_over_http():
+    """kind=exact serves brute-force (recall-1.0) search over the same API."""
+    c, engine = await _make_client()
+    try:
+        r = await c.put(
+            "/api/v1/indexes/ks/ex",
+            json={"dimensions": 4, "space": "l2", "kind": "exact"},
+        )
+        assert r.status == 200
+        for i in range(5):
+            r = await c.post(
+                "/api/v1/indexes/ks/ex/add",
+                json={"primary_key": [i], "embedding": [i, 0, 0, 0]},
+            )
+            assert r.status == 200
+        async with asyncio.timeout(60):
+            while await (await c.get("/api/v1/indexes/ks/ex/count")).json() != 5:
+                await asyncio.sleep(0)
+        r = await c.post(
+            "/api/v1/indexes/ks/ex/ann", json={"embedding": [3.1, 0, 0, 0], "limit": 2}
+        )
+        body = await r.json()
+        assert body["primary_keys"]["pk0"] == [3, 4]  # exact: 0.01 < 0.81
+    finally:
+        await c.close()
+        await engine.close()
+
+
+@pytest.mark.asyncio
 async def test_openapi_and_health():
     c, engine = await _make_client()
     try:

@@ -27,18 +27,28 @@ from .types import (  # noqa: F401
 )
 
 
-def new_index_factory(exact: bool = False):
-    """Default factory: ANN + text backends behind one routing seam
-    (reference: lib.rs:275-277 built the opensearch factory)."""
+def new_index_factory(
+    exact: bool = False,
+    max_batch: int = 256,
+    window_s: float = 0.002,
+    n_devices: int = 1,
+):
+    """Default factory: ANN + exact + text backends behind one routing
+    seam (reference: lib.rs:275-277 built the opensearch factory).
+    `n_devices > 1` shards ANN indexes over the device mesh."""
     from .engine.ann_index import AnnIndexFactory
     from .engine.factory import RoutingFactory
     from .engine.text_index import TextIndexFactory
 
     return RoutingFactory(
         {
-            "ann": AnnIndexFactory(),
-            "exact": AnnIndexFactory(exact=True),
-            "text": TextIndexFactory(),
+            "ann": AnnIndexFactory(
+                max_batch=max_batch, window_s=window_s, n_devices=n_devices
+            ),
+            "exact": AnnIndexFactory(
+                exact=True, max_batch=max_batch, window_s=window_s
+            ),
+            "text": TextIndexFactory(window_s=window_s),
         }
     )
 

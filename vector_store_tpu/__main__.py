@@ -33,7 +33,12 @@ async def main() -> None:
         format="%(asctime)s %(levelname)s %(name)s %(message)s",
     )
 
-    server, engine = await run(args.addr, new_index_factory())
+    server, engine = await run(
+        args.addr,
+        new_index_factory(
+            max_batch=cfg.max_batch, window_s=cfg.batch_window_ms / 1000.0
+        ),
+    )
     print(f"listening on http://{server.addr}  (swagger: /swagger-ui)")
 
     monitor = None

@@ -17,8 +17,6 @@ reference's ANN response ordering (src/index/usearch.rs:284-303):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -125,7 +123,3 @@ def pairwise_int8(
     q_sq = jnp.sum(jnp.square(queries.astype(_ACC)), axis=-1, keepdims=True)
     return q_sq + bank_sqnorm[None, :] - 2.0 * dots
 
-
-@functools.partial(jax.jit, static_argnames=("space",))
-def _pairwise_jit(queries, bank, space):
-    return pairwise(queries, bank, space)

@@ -40,9 +40,10 @@ def routing_sample_for(capacity: int) -> int:
     """Routing-stage sample size: the coarse-quantizer role of HNSW's
     upper layers.  Scales with capacity — empirically sample ≈ C/8
     keeps entry-point misses negligible (recall 0.98 at 100K where C/16
-    plateaued at 0.93) while the sample matmul stays a few % of the
-    search step."""
-    return int(min(max(4096, capacity // 8), 65536))
+    plateaued at 0.93; capping at 64K cost 1M-scale recall the same
+    way).  The sample matmul is an MXU block ≈ 1/8 of a full scan —
+    still a minority of the search step, whose cost is gather-bound."""
+    return int(max(4096, capacity // 8))
 
 
 def config_from_params(params: IndexParams, capacity: int = 1 << 16) -> GraphConfig:
@@ -197,10 +198,11 @@ class SlotIndex:
     # -- query -------------------------------------------------------------
 
     def search(
-        self, queries: np.ndarray, k: int
+        self, queries: np.ndarray, k: int, exact: bool | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched ANN query → (dist[n, k], slots[n, k]); missing results
-        are (+inf, -1)."""
+        are (+inf, -1).  `exact` overrides the index's default backend."""
+        exact = self._exact if exact is None else exact
         queries = np.asarray(queries, dtype=np.float32)
         single = queries.ndim == 1
         if single:
@@ -215,7 +217,7 @@ class SlotIndex:
             queries = np.pad(queries, ((0, b - n), (0, 0)))
         with self._lock:
             state = self._state
-            if self._exact:
+            if exact:
                 # The bank is stored preprocessed; match the queries to it.
                 from . import distance as dist_mod
 
@@ -243,11 +245,7 @@ class SlotIndex:
         self, queries: np.ndarray, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
         """Brute-force oracle over the same state (recall measurement)."""
-        saved, self._exact = self._exact, True
-        try:
-            return self.search(queries, k)
-        finally:
-            self._exact = saved
+        return self.search(queries, k, exact=True)
 
     def get_vectors(self, slots: np.ndarray) -> np.ndarray:
         """Fetch (preprocessed) stored vectors for slots — persist/debug."""

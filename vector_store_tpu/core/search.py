@@ -19,8 +19,6 @@ no hash-table visited set needed (the C++ side uses one internally).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

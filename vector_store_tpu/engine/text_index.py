@@ -87,7 +87,16 @@ class TextIndexFactory:
     """Factory for text index actors (the `new_opensearch` role,
     opensearch.rs:51-60)."""
 
+    def __init__(self, max_batch: int = 64, window_s: float = 0.002) -> None:
+        self.max_batch = max_batch
+        self.window_s = window_s
+
     def create_index(
         self, index_id: IndexId, metadata: Optional[IndexMetadata] = None
     ) -> IndexHandle:
-        return spawn_index_actor(TextIndexBackend(index_id), name=str(index_id))
+        return spawn_index_actor(
+            TextIndexBackend(
+                index_id, max_batch=self.max_batch, window_s=self.window_s
+            ),
+            name=str(index_id),
+        )

@@ -190,7 +190,6 @@ class ShardedSlotIndex:
         self._state = _stack_init(self.cfg, self.n_shards, cap, self.mesh)
         self._frontiers = np.zeros((self.n_shards,), dtype=np.int64)
         self._sizes = np.zeros((self.n_shards,), dtype=np.int64)
-        self._next_shard = 0
         self._lock = threading.Lock()
 
     # -- introspection ----------------------------------------------------
