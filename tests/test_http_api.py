@@ -52,7 +52,7 @@ async def test_text_search_e2e():
         assert r.status == 200
 
         # poll-search until indexed, assert top-1 (main.rs:117-132)
-        async with asyncio.timeout(10):
+        async with asyncio.timeout(60):
             while True:
                 r = await c.post(
                     "/api/v1/text-search/articles/search",
@@ -109,7 +109,7 @@ async def test_ann_surface_e2e():
             )
             assert r.status == 200
 
-        async with asyncio.timeout(10):
+        async with asyncio.timeout(60):
             while True:
                 r = await c.get("/api/v1/indexes/ks/vec/count")
                 if await r.json() == 3:
@@ -138,7 +138,7 @@ async def test_ann_surface_e2e():
             "/api/v1/indexes/ks/vec/remove", json={"primary_key": [3, "three"]}
         )
         assert r.status == 200
-        async with asyncio.timeout(10):
+        async with asyncio.timeout(60):
             while await (await c.get("/api/v1/indexes/ks/vec/count")).json() != 2:
                 await asyncio.sleep(0)
 

@@ -194,6 +194,70 @@ def openapi_spec() -> dict:
                     "responses": {"200": {"description": "count"}},
                 }
             },
+            "/api/v1/indexes/{keyspace}/{index}/add": {
+                "post": {
+                    "tags": ["indexes"],
+                    "description": "Upsert an embedding (acked)",
+                    "parameters": [
+                        _index_param("keyspace", "Keyspace"),
+                        _index_param("index", "Index name"),
+                    ],
+                    "requestBody": {
+                        "content": {
+                            "application/json": {
+                                "schema": {
+                                    "type": "object",
+                                    "required": ["primary_key", "embedding"],
+                                    "properties": {
+                                        "primary_key": {"type": "array"},
+                                        "embedding": {
+                                            "type": "array",
+                                            "items": {"type": "number"},
+                                        },
+                                    },
+                                }
+                            }
+                        }
+                    },
+                    "responses": {
+                        "200": {"description": "Upserted"},
+                        "404": {"description": "Index not found"},
+                    },
+                }
+            },
+            "/api/v1/indexes/{keyspace}/{index}/remove": {
+                "post": {
+                    "tags": ["indexes"],
+                    "description": "Remove a primary key",
+                    "parameters": [
+                        _index_param("keyspace", "Keyspace"),
+                        _index_param("index", "Index name"),
+                    ],
+                    "requestBody": {
+                        "content": {
+                            "application/json": {
+                                "schema": {
+                                    "type": "object",
+                                    "required": ["primary_key"],
+                                    "properties": {
+                                        "primary_key": {"type": "array"}
+                                    },
+                                }
+                            }
+                        }
+                    },
+                    "responses": {
+                        "200": {"description": "Removed"},
+                        "404": {"description": "Index not found"},
+                    },
+                }
+            },
+            "/healthz": {
+                "get": {
+                    "description": "Liveness probe",
+                    "responses": {"200": {"description": "ok"}},
+                }
+            },
         },
     }
 

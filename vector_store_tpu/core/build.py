@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from . import distance as dist_mod
-from .graph import GraphConfig, GraphState, gather_rows, gather_vectors, store_vectors
+from .graph import GraphConfig, GraphState, gather_vectors, store_vectors
 from .search import search_pool
 from .topk import INF, SENTINEL, topk_ascending
 

@@ -17,14 +17,12 @@ from __future__ import annotations
 import dataclasses
 import threading
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..types import IndexParams
 from . import build, bruteforce, graph, search
 from .graph import GraphConfig, GraphState
-from .topk import INF
 
 # Insert batch block: adds are chunked into blocks of this size (one jit
 # cache entry).  The last partial block is padded with dead lanes.

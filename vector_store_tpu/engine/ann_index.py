@@ -22,7 +22,7 @@ from typing import Optional
 import numpy as np
 
 from ..core.index import SlotIndex
-from ..types import IndexId, IndexMetadata, IndexParams, Limit, PrimaryKey
+from ..types import IndexId, IndexMetadata, IndexParams, PrimaryKey
 from .actor import (
     Add,
     AddOrReplace,

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.topk import INF, SENTINEL, topk_ascending
+from ..core.topk import INF, SENTINEL
 from . import tokenizer
 
 K1 = 1.2
