@@ -92,6 +92,11 @@ class SlotIndex:
         cap = initial_capacity or min(params.capacity, 1 << 16)
         cap = max(cap, 2 * insert_block)
         self.cfg = config_from_params(params, cap)
+        if exact:
+            # the scan never touches adjacency — keep it a 1-wide stub so
+            # HBM holds the flat bank only (a 10M x 768 int8 bank fits
+            # where a degree-32 graph would not)
+            self.cfg = dataclasses.replace(self.cfg, degree=1)
         self._state: GraphState = graph.init(self.cfg, cap)
         self._exact = exact
         self._lock = threading.Lock()
