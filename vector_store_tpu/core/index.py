@@ -40,8 +40,15 @@ def routing_sample_for(capacity: int) -> int:
     keeps entry-point misses negligible (recall 0.98 at 100K where C/16
     plateaued at 0.93; capping at 64K cost 1M-scale recall the same
     way).  The sample matmul is an MXU block ≈ 1/8 of a full scan —
-    still a minority of the search step, whose cost is gather-bound."""
-    return int(max(4096, capacity // 8))
+    still a minority of the search step, whose cost is gather-bound.
+
+    Hard cap at 256K: beyond that the routing distance matrix
+    (batch × sample f32) plus the gathered sample rows crowd HBM on a
+    chip already holding a multi-GB bank (observed OOM-thrash at 8M
+    corpus / 1M sample).  Past the cap, entry quality degrades —
+    hierarchical (centroid) routing is the planned replacement for the
+    >2M-per-chip regime."""
+    return int(min(max(4096, capacity // 8), 1 << 18))
 
 
 def config_from_params(params: IndexParams, capacity: int = 1 << 16) -> GraphConfig:
