@@ -224,6 +224,17 @@ async def post_ann_remove(request: web.Request) -> web.Response:
 # --------------------------------------------------------------------------
 
 
+async def post_compact(request: web.Request) -> web.Response:
+    index = await _get_index(request, _index_id(request))
+    if index is None:
+        return _json_error(404)
+    try:
+        count = await index.compact()
+    except Exception as exc:  # noqa: BLE001
+        return _json_error(500, f"compact error: {exc}")
+    return web.json_response({"count": count})
+
+
 async def healthz(request: web.Request) -> web.Response:
     return web.json_response({"status": "ok"})
 
@@ -252,6 +263,7 @@ def build_app(engine: EngineHandle) -> web.Application:
             web.get("/api/v1/indexes/{keyspace}/{index}/count", get_count),
             web.post("/api/v1/indexes/{keyspace}/{index}/add", post_ann_add),
             web.post("/api/v1/indexes/{keyspace}/{index}/remove", post_ann_remove),
+            web.post("/api/v1/indexes/{keyspace}/{index}/compact", post_compact),
             web.get("/healthz", healthz),
             web.get("/api-docs/openapi.json", get_openapi),
             web.get("/swagger-ui", get_swagger),

@@ -190,6 +190,44 @@ class SlotIndex:
                         self._state, jnp.int32(base), block, self.cfg
                     )
 
+    def compact(self) -> dict[int, int]:
+        """Reclaim tombstoned rows: rebuild the index from its live rows.
+
+        Deletes are lazy tombstones (usearch semantics); long churn leaves
+        dead rows that cost memory and traversal.  Compaction gathers the
+        live (preprocessed) vectors, rebuilds into a fresh graph, and
+        returns {old_slot: new_slot} so the owner (engine keymap) can
+        remap.  The reference's only answer to fragmentation was a full
+        rebuild from the source DB (SURVEY §5 checkpoint/resume: none);
+        this rebuilds from the index itself.
+        """
+        with self._lock:
+            state = self._state
+            valid = np.asarray(state.valid)
+            live_slots = np.nonzero(valid)[0]
+            vectors = np.asarray(
+                jnp.take(
+                    state.vectors, jnp.asarray(live_slots, dtype=jnp.int32), axis=0
+                ).astype(jnp.float32)
+            )
+            if self.cfg.quantized:
+                scales = np.asarray(
+                    jnp.take(state.scales, jnp.asarray(live_slots, dtype=jnp.int32))
+                )
+                vectors = vectors * scales[:, None]
+            cap = max(
+                1 << int(max(len(live_slots), 1) - 1).bit_length(),
+                2 * self.insert_block,
+            )
+            self.cfg = dataclasses.replace(
+                self.cfg, routing_sample=routing_sample_for(cap)
+            )
+            self._state = graph.init(self.cfg, cap)
+        # note: vectors are already preprocessed (unit-norm for cosine);
+        # re-preprocessing is idempotent for all supported spaces
+        new_slots = self.add(vectors)
+        return {int(o): int(n) for o, n in zip(live_slots, new_slots)}
+
     def remove(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, dtype=np.int32).reshape(-1)
         if slots.size == 0:

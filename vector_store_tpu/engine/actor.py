@@ -87,6 +87,14 @@ class Count:
     reply: asyncio.Future
 
 
+@dataclass
+class Compact:
+    """Maintenance: reclaim tombstoned rows (extension — the reference's
+    only fragmentation answer was a rebuild from the source DB)."""
+
+    reply: asyncio.Future
+
+
 Message = Any
 
 
@@ -155,6 +163,12 @@ class IndexHandle:
     async def count(self) -> int:
         fut = asyncio.get_running_loop().create_future()
         await self._send(Count(fut))
+        return await fut
+
+    async def compact(self) -> int:
+        """Rebuild away tombstones; returns the live count."""
+        fut = asyncio.get_running_loop().create_future()
+        await self._send(Compact(fut))
         return await fut
 
 

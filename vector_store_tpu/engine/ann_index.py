@@ -27,6 +27,7 @@ from .actor import (
     Add,
     AddOrReplace,
     Ann,
+    Compact,
     Count,
     IndexHandle,
     Remove,
@@ -131,6 +132,17 @@ class AnnIndexBackend:
             if not msg.reply.done():
                 msg.reply.set_result(res)
         elif isinstance(msg, Count):
+            msg.reply.set_result(self.index.count())
+        elif isinstance(msg, Compact):
+            if not hasattr(self.index, "compact"):
+                raise TypeError("backend does not support compaction")
+            remap = await self._loop.run_in_executor(None, self.index.compact)
+            # rebind every key to its post-compaction slot
+            keys = [(self.keymap.key_of(old), new) for old, new in remap.items()]
+            self.keymap = KeyMap()
+            for key, new in keys:
+                if key is not None:
+                    self.keymap.bind(key, new)
             msg.reply.set_result(self.index.count())
         elif isinstance(msg, (Add, Search)):
             raise TypeError("ANN index does not serve the text protocol")
