@@ -109,8 +109,12 @@ class BM25Index:
         self._size = 0
         self._df: Counter = Counter()  # term id → doc frequency
         self._total_len = 0
-        self._dirty = True
-        self._dev = None  # device copies, refreshed lazily
+        # device arrays are the scoring source of truth; host mutations
+        # accumulate in `_dirty_slots` and flush as one row scatter per
+        # query (not a full re-upload — documents are long-lived)
+        self._dirty_slots: set[int] = set()
+        self._dev = None  # (tokens, length, valid) device arrays
+        self._dev_rows = 0  # device array row count (grows with frontier)
 
     # -- mutation ---------------------------------------------------------
 
@@ -139,7 +143,7 @@ class BM25Index:
         self._size += 1
         self._df.update(set(ids))
         self._total_len += len(ids)
-        self._dirty = True
+        self._dirty_slots.add(slot)
         return slot
 
     def remove(self, slot: int) -> None:
@@ -150,7 +154,7 @@ class BM25Index:
         self._total_len -= int(self._length[slot])
         self._valid[slot] = False
         self._size -= 1
-        self._dirty = True
+        self._dirty_slots.add(slot)
 
     def count(self) -> int:
         return self._size
@@ -158,13 +162,33 @@ class BM25Index:
     # -- query ------------------------------------------------------------
 
     def _device_arrays(self):
-        if self._dirty or self._dev is None:
+        # pad device rows to a power-of-two bucket so growth (full upload)
+        # is a doubling event, not a per-add one; padded rows score as
+        # invalid (host _valid is False beyond the frontier)
+        rows = 1 << max(self._frontier, 1024).bit_length()
+        rows = min(rows, self._tokens.shape[0])
+        if self._dev is None or self._dev_rows != rows:
+            # (re)size: full upload — happens on first query after growth,
+            # amortised by the doubling host capacity
             self._dev = (
-                jnp.asarray(self._tokens[: max(self._frontier, 1)]),
-                jnp.asarray(self._length[: max(self._frontier, 1)]),
-                jnp.asarray(self._valid[: max(self._frontier, 1)]),
+                jnp.asarray(self._tokens[:rows]),
+                jnp.asarray(self._length[:rows]),
+                jnp.asarray(self._valid[:rows]),
             )
-            self._dirty = False
+            self._dev_rows = rows
+            self._dirty_slots.clear()
+        elif self._dirty_slots:
+            # incremental: scatter only the mutated rows
+            slots = np.fromiter(self._dirty_slots, dtype=np.int32)
+            slots = slots[slots < rows]
+            tok, length, valid = self._dev
+            idx = jnp.asarray(slots)
+            self._dev = (
+                tok.at[idx].set(jnp.asarray(self._tokens[slots])),
+                length.at[idx].set(jnp.asarray(self._length[slots])),
+                valid.at[idx].set(jnp.asarray(self._valid[slots])),
+            )
+            self._dirty_slots.clear()
         return self._dev
 
     def _idf(self, term: int) -> float:
