@@ -181,6 +181,14 @@ async def test_exact_kind_over_http():
         )
         body = await r.json()
         assert body["primary_keys"]["pk0"] == [3, 4]  # exact: 0.01 < 0.81
+
+        # info endpoint (extension)
+        r = await c.get("/api/v1/indexes/ks/ex")
+        info = await r.json()
+        assert info["kind"] == "exact"
+        assert info["params"]["dimensions"] == 4
+        assert info["count"] == 5
+        assert (await c.get("/api/v1/indexes/ks/missing")).status == 404
     finally:
         await c.close()
         await engine.close()

@@ -35,3 +35,25 @@ def test_snapshot_roundtrip(rng):
     more = restored.add(rng.normal(size=(10, 16)).astype(np.float32))
     assert restored.count() == 460
     assert more[0] == 500
+
+
+def test_snapshot_roundtrip_int8(rng):
+    """Quantized banks round-trip exactly (raw int8 values + scales)."""
+    idx = SlotIndex(
+        IndexParams(dimensions=16, space="cosine", dtype="int8"),
+        initial_capacity=2048,
+    )
+    x = rng.normal(size=(200, 16)).astype(np.float32)
+    idx.add(x)
+    d0, i0 = idx.search(x[42], 3)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "snap8.npz")
+        persist.save(path, idx)
+        restored, _ = persist.load(path)
+    assert restored.state.vectors.dtype.name == "int8"
+    d1, i1 = restored.search(x[42], 3)
+    assert i1[0] == i0[0] == 42

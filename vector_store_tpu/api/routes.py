@@ -146,6 +146,33 @@ async def put_ann_index(request: web.Request) -> web.Response:
     return web.Response(status=200)
 
 
+async def get_ann_index_info(request: web.Request) -> web.Response:
+    """Index introspection (extension): kind, params, live count."""
+    index = await _get_index(request, _index_id(request))
+    if index is None:
+        return _json_error(404)
+    meta = index.metadata
+    params = getattr(meta, "params", None)
+    return web.json_response(
+        {
+            "id": _index_id(request).value,
+            "kind": getattr(meta, "kind", "ann"),
+            "key_columns": list(getattr(meta, "key_columns", ()) or ()),
+            "params": {
+                "dimensions": params.dimensions,
+                "connectivity": params.connectivity,
+                "expansion_add": params.expansion_add,
+                "expansion_search": params.expansion_search,
+                "space": params.space,
+                "dtype": params.dtype,
+            }
+            if params is not None
+            else None,
+            "count": await index.count(),
+        }
+    )
+
+
 async def delete_ann_index(request: web.Request) -> web.Response:
     engine: EngineHandle = request.app["engine"]
     await engine.del_index(_index_id(request))
@@ -258,6 +285,7 @@ def build_app(engine: EngineHandle) -> web.Application:
             web.post("/api/v1/text-search/{index}/search", post_text_search),
             web.get("/api/v1/indexes", get_ann_indexes),
             web.put("/api/v1/indexes/{keyspace}/{index}", put_ann_index),
+            web.get("/api/v1/indexes/{keyspace}/{index}", get_ann_index_info),
             web.delete("/api/v1/indexes/{keyspace}/{index}", delete_ann_index),
             web.post("/api/v1/indexes/{keyspace}/{index}/ann", post_ann),
             web.get("/api/v1/indexes/{keyspace}/{index}/count", get_count),
