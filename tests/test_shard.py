@@ -95,3 +95,54 @@ def test_sharded_growth(mesh8, rng):
     assert idx.count() == 5000
     d, i = idx.search(x[4321], 1)
     assert i[0] == gids[4321]
+
+
+def test_sharded_gids_stable_across_growth(mesh8, rng):
+    """Ids issued before a capacity doubling stay valid after it.
+
+    Regression: round 1 encoded gid = shard * C + slot, so growth
+    (C doubling mid-add) silently re-addressed every outstanding id —
+    searches returned different gids for the same row and removes
+    tombstoned the wrong slot."""
+    idx = ShardedSlotIndex(
+        IndexParams(dimensions=8, space="l2"),
+        mesh=mesh8,
+        initial_capacity_per_shard=600,
+    )
+    x1 = rng.normal(size=(400, 8)).astype(np.float32)
+    gids1 = idx.add(x1)  # pre-growth ids
+    cap_before = idx.capacity
+    x2 = rng.normal(size=(5000, 8)).astype(np.float32)
+    idx.add(x2)  # forces growth
+    assert idx.capacity > cap_before
+    # pre-growth rows still resolve to their original ids
+    d, i = idx.search(x1[:32], 1)
+    assert (i[:, 0] == gids1[:32]).all()
+    # and removing by a pre-growth id kills the right row
+    idx.remove(gids1[[5]])
+    assert idx.count() == 400 + 5000 - 1
+    d, i = idx.search(x1[5], 1)
+    assert i[0] != gids1[5]
+
+
+def test_sharded_remove_count_integrity(mesh8, rng):
+    """count() tracks device truth under double/unknown/duplicate removes.
+
+    Regression: round 1 decremented host _sizes unconditionally, so
+    removing a gid twice (or a never-valid gid) desynced count()."""
+    idx = ShardedSlotIndex(
+        IndexParams(dimensions=8, space="l2"),
+        mesh=mesh8,
+        initial_capacity_per_shard=1024,
+    )
+    x = rng.normal(size=(64, 8)).astype(np.float32)
+    gids = idx.add(x)
+    idx.remove(gids[[3]])
+    assert idx.count() == 63
+    idx.remove(gids[[3]])  # double remove — no-op
+    assert idx.count() == 63
+    idx.remove(np.asarray([gids[4], gids[4], gids[4]]))  # duplicates in batch
+    assert idx.count() == 62
+    never_valid = int(1000) * idx.n_shards + 2  # slot 1000 was never written
+    idx.remove(np.asarray([never_valid]))
+    assert idx.count() == 62

@@ -229,7 +229,9 @@ class SlotIndex:
         return {int(o): int(n) for o, n in zip(live_slots, new_slots)}
 
     def remove(self, slots: np.ndarray) -> None:
-        slots = np.asarray(slots, dtype=np.int32).reshape(-1)
+        # dedup: a slot repeated in one batch would double-decrement the
+        # device size counter (delete_impl lanes all read pre-update validity)
+        slots = np.unique(np.asarray(slots, dtype=np.int32).reshape(-1))
         if slots.size == 0:
             return
         with self._lock:

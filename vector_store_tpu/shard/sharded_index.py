@@ -12,9 +12,11 @@ vectors[S, C, D], neighbors[S, C, R], ... — sharded on axis 0 with
 `NamedSharding(mesh, P("shard"))`, so XLA places one [C, ...] block per
 device and `shard_map` hands each device its local block.
 
-Global ids: `gid = shard * C + slot` (decoded host-side against the
-capacity in force at call time; all shards grow in lockstep so C is
-uniform).
+Global ids: `gid = slot * S + shard` (S = shard count, fixed for the
+index lifetime) — deliberately capacity-INDEPENDENT, so ids issued
+before a capacity-doubling growth stay valid after it.  With balanced
+round-robin routing this also makes gid equal the global insertion
+order.
 """
 
 from __future__ import annotations
@@ -75,18 +77,25 @@ def _relocal(state: GraphState) -> GraphState:
 def _sharded_search(state, queries, cfg, k, mesh_holder):
     mesh = mesh_holder.mesh
 
+    S = mesh.devices.size
+
     def fn(state_blk, queries_rep):
         local = _local(state_blk)
-        C = local.capacity
         d, i = search_mod.search_impl(local, queries_rep, cfg, k)
         shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
-        gid = jnp.where(i == SENTINEL, SENTINEL, shard * C + i)
+        # capacity-independent encoding: gid = slot * S + shard (slots are
+        # clipped before the multiply so the sentinel lane cannot overflow)
+        gid = jnp.where(
+            i == SENTINEL,
+            SENTINEL,
+            jnp.clip(i, 0, local.capacity - 1) * S + shard,
+        )
         # all-gather per-shard top-k over ICI, merge to global top-k
         dd = jax.lax.all_gather(d, SHARD_AXIS)  # [S, Q, k]
         ii = jax.lax.all_gather(gid, SHARD_AXIS)
-        S, Q, K = dd.shape
-        flat_d = jnp.transpose(dd, (1, 0, 2)).reshape(Q, S * K)
-        flat_i = jnp.transpose(ii, (1, 0, 2)).reshape(Q, S * K)
+        n_sh, Q, K = dd.shape
+        flat_d = jnp.transpose(dd, (1, 0, 2)).reshape(Q, n_sh * K)
+        flat_i = jnp.transpose(ii, (1, 0, 2)).reshape(Q, n_sh * K)
         md, pos = topk_ascending(flat_d, k)
         mi = jnp.take_along_axis(flat_i, pos, axis=-1)
         return md, mi
@@ -166,10 +175,11 @@ class _MeshHolder:
 class ShardedSlotIndex:
     """Host wrapper mirroring SlotIndex over a device mesh.
 
-    Ids returned by search/add are global (`shard * C + slot`); decode
-    against `.capacity` if shard-local addressing is needed.  Vectors are
-    routed to shards round-robin by the host, so shard sizes stay
-    balanced without any device-side coordination.
+    Ids returned by search/add are global (`slot * n_shards + shard`,
+    stable across capacity growth); `decode()` splits one back into
+    (shard, slot).  Vectors are routed to shards round-robin by the
+    host, so shard sizes stay balanced without any device-side
+    coordination.
     """
 
     def __init__(
@@ -202,7 +212,11 @@ class ShardedSlotIndex:
         return int(self._sizes.sum())
 
     def decode(self, gid: int) -> tuple[int, int]:
-        return divmod(int(gid), self.capacity)
+        """gid → (shard, slot).  Encoding never involves capacity, so
+        ids survive growth (the round-1 `shard * C + slot` scheme went
+        stale the moment C doubled)."""
+        slot, shard = divmod(int(gid), self.n_shards)
+        return shard, slot
 
     # -- mutation ---------------------------------------------------------
 
@@ -258,7 +272,6 @@ class ShardedSlotIndex:
                 per = [chunk[s::S] for s in range(S)]
                 m = max(len(p) for p in per)
                 self._ensure_capacity(m)
-                C = self.capacity
                 vecs = np.zeros((S, INSERT_BLOCK, d), dtype=np.float32)
                 live = np.zeros((S, INSERT_BLOCK), dtype=bool)
                 bases = self._frontiers.astype(np.int32)
@@ -266,8 +279,8 @@ class ShardedSlotIndex:
                     vecs[s, : len(p)] = p
                     live[s, : len(p)] = True
                     gids[done + s : done + take : S] = (
-                        bases[s] + np.arange(len(p)) + np.int64(s) * C
-                    )
+                        bases[s] + np.arange(len(p))
+                    ) * np.int64(S) + s
                 self._state = _sharded_insert(
                     self._state,
                     jnp.asarray(bases),
@@ -283,13 +296,14 @@ class ShardedSlotIndex:
         return gids
 
     def remove(self, gids: np.ndarray) -> None:
-        gids = np.asarray(gids, dtype=np.int64).reshape(-1)
+        # dedup: a slot repeated in one batch would double-decrement the
+        # device size counter (every lane reads pre-update validity)
+        gids = np.unique(np.asarray(gids, dtype=np.int64).reshape(-1))
         if gids.size == 0:
             return
         with self._lock:
-            C = self.capacity
             S = self.n_shards
-            shard, slot = np.divmod(gids, C)
+            slot, shard = np.divmod(gids, S)
             m = max(int(np.bincount(shard, minlength=S).max()), 1)
             m = _bucket(m)
             slots = np.zeros((S, m), dtype=np.int32)
@@ -298,9 +312,15 @@ class ShardedSlotIndex:
                 mine = slot[shard == s]
                 slots[s, : len(mine)] = mine
                 live[s, : len(mine)] = True
-                self._sizes[s] -= len(mine)
             self._state = _sharded_delete(
                 self._state, jnp.asarray(slots), jnp.asarray(live), self._holder
+            )
+            # host count mirrors device truth: delete_impl only decrements
+            # for rows that were actually live, so read the result back
+            # instead of guessing (unknown / already-removed gids would
+            # otherwise desync count() permanently)
+            self._sizes = np.asarray(
+                jax.device_get(self._state.size), dtype=np.int64
             )
 
     # -- query ------------------------------------------------------------
