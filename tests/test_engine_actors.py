@@ -116,5 +116,47 @@ async def test_concurrent_ann_batching():
     await engine.close()
 
 
+@pytest.mark.asyncio
+async def test_ann_queries_actually_coalesce():
+    """Concurrent Ann messages must ride one device batch.
+
+    Regression: round 1 awaited the batcher inside the actor loop, so at
+    most one query was ever in flight — every batch had size 1 and every
+    query still paid the full batching window."""
+    from vector_store_tpu.engine.actor import spawn_index_actor
+    from vector_store_tpu.engine.ann_index import AnnIndexBackend
+
+    backend = AnnIndexBackend(
+        IndexId("ks.batch"),
+        IndexParams(dimensions=8, space="l2", capacity=2048),
+        window_s=0.02,
+    )
+    sizes: list[int] = []
+    orig = backend._batcher._flush_fn
+
+    def spy(items):
+        sizes.append(len(items))
+        return orig(items)
+
+    backend._batcher._flush_fn = spy
+    actor = spawn_index_actor(backend, name="ks.batch")
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(16, 8)).astype(np.float32)
+    for i in range(16):
+        await actor.add_or_replace((i,), vecs[i])
+    await poll_until(lambda: _eq(actor.count(), 16))
+
+    n = 8
+    results = await asyncio.gather(
+        *(actor.ann(vecs[i], Limit(1)) for i in range(n))
+    )
+    for i, (keys, _) in enumerate(results):
+        assert keys == [(i,)]
+    assert max(sizes) > 1, f"queries never coalesced: batch sizes {sizes}"
+    actor.close()
+    await actor.join()
+
+
 async def _eq(coro, val):
     return await coro == val

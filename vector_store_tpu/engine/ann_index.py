@@ -67,6 +67,7 @@ class AnnIndexBackend:
             self._run_query_batch, max_batch=max_batch, window_s=window_s
         )
         self._loop = asyncio.get_running_loop()
+        self._inflight: set[asyncio.Task] = set()
 
     # -- device-side batch execution (worker thread) ----------------------
 
@@ -128,9 +129,16 @@ class AnnIndexBackend:
                 )
         elif isinstance(msg, Ann):
             emb = self._check_dims(msg.embedding)
-            res = await self._batcher.submit((emb, msg.limit.value))
-            if not msg.reply.done():
-                msg.reply.set_result(res)
+            # Detach: awaiting the batched result here would stall the
+            # actor loop, so at most one query would ever be in flight and
+            # the micro-batcher could never coalesce (every query would
+            # still pay the full batching window).  The task resolves the
+            # reply when the batch it rode in completes.
+            task = self._loop.create_task(
+                self._answer_ann(emb, msg), name=f"ann-{self.index_id}"
+            )
+            self._inflight.add(task)
+            task.add_done_callback(self._inflight.discard)
         elif isinstance(msg, Count):
             msg.reply.set_result(self.index.count())
         elif isinstance(msg, Compact):
@@ -149,7 +157,18 @@ class AnnIndexBackend:
         else:
             raise TypeError(f"unknown message {msg!r}")
 
+    async def _answer_ann(self, emb: np.ndarray, msg: Ann) -> None:
+        try:
+            res = await self._batcher.submit((emb, msg.limit.value))
+            if not msg.reply.done():
+                msg.reply.set_result(res)
+        except Exception as exc:  # noqa: BLE001 — route to the caller
+            if not msg.reply.done():
+                msg.reply.set_exception(exc)
+
     async def shutdown(self) -> None:
+        if self._inflight:
+            await asyncio.gather(*self._inflight, return_exceptions=True)
         await self._batcher.close()
 
 

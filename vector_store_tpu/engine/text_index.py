@@ -41,6 +41,7 @@ class TextIndexBackend:
             self._run_query_batch, max_batch=max_batch, window_s=window_s
         )
         self._loop = asyncio.get_running_loop()
+        self._inflight: set[asyncio.Task] = set()
 
     def _run_query_batch(self, items: list) -> list:
         texts = [t for t, _ in items]
@@ -69,9 +70,14 @@ class TextIndexBackend:
             if slot is not None:
                 self.index.remove(slot)
         elif isinstance(msg, Search):
-            keys = await self._batcher.submit((msg.text, msg.limit.value))
-            if not msg.reply.done():
-                msg.reply.set_result(keys)
+            # detach so concurrent searches coalesce into one device batch
+            # (awaiting here would serialize the actor loop — see
+            # ann_index.py for the same pattern)
+            task = self._loop.create_task(
+                self._answer_search(msg), name=f"search-{self.index_id}"
+            )
+            self._inflight.add(task)
+            task.add_done_callback(self._inflight.discard)
         elif isinstance(msg, Count):
             msg.reply.set_result(self.index.count())
         elif isinstance(msg, Ann):
@@ -79,7 +85,18 @@ class TextIndexBackend:
         else:
             raise TypeError(f"unknown message {msg!r}")
 
+    async def _answer_search(self, msg: Search) -> None:
+        try:
+            keys = await self._batcher.submit((msg.text, msg.limit.value))
+            if not msg.reply.done():
+                msg.reply.set_result(keys)
+        except Exception as exc:  # noqa: BLE001 — route to the caller
+            if not msg.reply.done():
+                msg.reply.set_exception(exc)
+
     async def shutdown(self) -> None:
+        if self._inflight:
+            await asyncio.gather(*self._inflight, return_exceptions=True)
         await self._batcher.close()
 
 
