@@ -54,6 +54,33 @@ def test_snapshot_roundtrip_int8(rng):
         path = os.path.join(td, "snap8.npz")
         persist.save(path, idx)
         restored, _ = persist.load(path)
+        # int8 banks snapshot in native width — the file must be nearer
+        # 1 byte/dim than the 4 bytes/dim an f32 cast would produce
+        raw = 2048 * 16  # capacity × dims bytes at 1 B/dim
+        assert os.path.getsize(path) < 3 * raw
     assert restored.state.vectors.dtype.name == "int8"
     d1, i1 = restored.search(x[42], 3)
     assert i1[0] == i0[0] == 42
+
+
+def test_snapshot_preserves_exact_mode_block(rng):
+    """Exact-mode indexes restore with their big ingest block.
+
+    Regression: round 1 hardcoded insert_block=256 on load, so a
+    restored exact index silently reverted to small-block ingest."""
+    idx = SlotIndex(
+        IndexParams(dimensions=8, space="l2", dtype="float32"),
+        exact=True,
+    )
+    x = rng.normal(size=(100, 8)).astype(np.float32)
+    idx.add(x)
+    assert idx.insert_block >= 4096
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "snap_exact.npz")
+        persist.save(path, idx)
+        restored, _ = persist.load(path)
+    assert restored._exact is True
+    assert restored.insert_block == idx.insert_block
+    d, i = restored.search(x[7], 1)
+    assert i[0] == 7

@@ -108,6 +108,29 @@ class SlotIndex:
         self._exact = exact
         self._lock = threading.Lock()
 
+    @classmethod
+    def restore(
+        cls,
+        params: IndexParams,
+        cfg: GraphConfig,
+        state: GraphState,
+        exact: bool,
+        insert_block: int,
+    ) -> "SlotIndex":
+        """Rebuild an index around an existing device state (persist.load).
+
+        Lives next to __init__ so the field inventory has one home — a
+        new constructor invariant must be reflected here.
+        """
+        idx = cls.__new__(cls)
+        idx.params = params
+        idx.cfg = cfg
+        idx.insert_block = insert_block
+        idx._exact = exact
+        idx._state = state
+        idx._lock = threading.Lock()
+        return idx
+
     # -- introspection ----------------------------------------------------
 
     @property

@@ -33,10 +33,19 @@ def save(path: str, index: SlotIndex, keymap_blob: Optional[dict] = None) -> Non
         "params": asdict(index.params),
         "cfg": asdict(index.cfg),
         "exact": index._exact,
+        "insert_block": index.insert_block,
     }
+    # int8 banks snapshot in their native byte width (a cast to f32 would
+    # quadruple the file); bf16 has no portable npz encoding, so it rides
+    # as f32 and re-narrows on load.
+    vectors = (
+        np.asarray(state.vectors)
+        if index.cfg.quantized
+        else np.asarray(state.vectors.astype(jnp.float32))
+    )
     np.savez_compressed(
         path,
-        vectors=np.asarray(state.vectors.astype(jnp.float32)),
+        vectors=vectors,
         scales=np.asarray(state.scales),
         neighbors=np.asarray(state.neighbors),
         nbr_dist=np.asarray(state.nbr_dist),
@@ -58,15 +67,11 @@ def load(path: str) -> tuple[SlotIndex, dict]:
             raise ValueError(f"unsupported snapshot format {meta['format']}")
         params = IndexParams(**meta["params"])
         cfg = GraphConfig(**meta["cfg"])
-        index = SlotIndex.__new__(SlotIndex)
-        index.params = params
-        index.cfg = cfg
-        index.insert_block = 256
-        index._exact = meta.get("exact", False)
-        import threading
-
-        index._lock = threading.Lock()
-        index._state = GraphState(
+        exact = meta.get("exact", False)
+        # older snapshots predate the insert_block field: re-derive the
+        # block size SlotIndex.__init__ would have chosen for the mode
+        insert_block = meta.get("insert_block", 4096 if exact else 256)
+        state = GraphState(
             vectors=jnp.asarray(z["vectors"]).astype(cfg.jdtype),
             scales=jnp.asarray(z["scales"]),
             neighbors=jnp.asarray(z["neighbors"]),
@@ -75,5 +80,6 @@ def load(path: str) -> tuple[SlotIndex, dict]:
             size=jnp.asarray(z["size"]),
             frontier=jnp.asarray(z["frontier"]),
         )
+        index = SlotIndex.restore(params, cfg, state, exact, insert_block)
         keymap_blob = json.loads(bytes(z["keymap"]).decode())
     return index, keymap_blob
