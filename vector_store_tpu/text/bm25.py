@@ -2,24 +2,39 @@
 
 Replaces the OpenSearch/Lucene backend of the reference (src/index/
 opensearch.rs:157-210) with a device-resident scorer: documents live in
-HBM as fixed-shape hashed-term-id arrays and a whole query batch is
-scored against every document in one jitted pass — term-match counting
-is a VPU-wide equality reduction, streamed chunk-by-chunk like the
+HBM as fixed-shape *unique-term count* arrays and a whole query batch is
+scored against every document in one jitted pass — term matching is a
+VPU-wide equality reduction, streamed chunk-by-chunk like the
 brute-force vector scan.
 
-    tokens  [C, L]  int32 hashed term ids, 0-padded (PAD)
-    length  [C]     int32 true token count (BM25 length norm)
+    terms   [C, U]  int32 unique hashed term ids per doc, 0-padded (PAD)
+    tf      [C, U]  int32 occurrence count of each term
+    length  [C]     int32 true total token count (BM25 length norm)
     valid   [C]     bool
 
+The count representation makes scoring exact for any document length as
+long as the doc has ≤ U distinct terms (U = 256): a 10k-token article
+stores all its term frequencies, where the round-1 token-stream layout
+head-truncated at 256 tokens and double-punished long docs (full-length
+norm, zero tf past the cut).  Docs with > U distinct terms keep the U
+highest-tf terms; the drop is logged and df bookkeeping uses exactly
+the kept set, so idf can never drift under add/remove churn.
+
 Scoring is standard BM25 (k1=1.2, b=0.75) with idf from live document
-frequencies tracked host-side at add/remove time.  Exact tf — the hash
-only folds the vocabulary (collisions merge rare terms, the standard
-hashed-vocabulary trade).
+frequencies tracked host-side.  The hash only folds the vocabulary
+(collisions merge rare terms, the standard hashed-vocabulary trade).
+
+Queries go through the simple_query_string subset parser (query.py):
+required (+) / forbidden (-) terms are enforced on-device via presence
+masks; phrases are enforced as all-words-required on-device plus an
+in-order host check of the stored token sequence over the top
+candidates.
 """
 
 from __future__ import annotations
 
 import functools
+import logging
 from collections import Counter
 
 import jax
@@ -27,37 +42,51 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.topk import INF, SENTINEL
+from . import query as query_mod
 from . import tokenizer
+
+log = logging.getLogger("vst.bm25")
 
 K1 = 1.2
 B = 0.75
 PAD = 0
 
-MAX_DOC_TOKENS = 256  # L: tokens kept per document (head truncation)
-MAX_QUERY_TERMS = 16  # T: query terms scored (first T unique)
+MAX_DOC_TERMS = 256  # U: distinct terms kept per document
+MAX_QUERY_TERMS = 16  # T: scored query terms (first T unique)
+MAX_OP_TERMS = 8  # TR/TN: required / forbidden term slots per query
+
+# phrase queries fetch extra candidates to survive the host-side
+# positional filter
+PHRASE_OVERFETCH = 4
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "use_ops"))
 def _score_topk(
-    tokens: jnp.ndarray,  # [C, L] int32
+    terms: jnp.ndarray,  # [C, U] int32 unique term ids
+    tf: jnp.ndarray,  # [C, U] int32 counts
     length: jnp.ndarray,  # [C] int32
     valid: jnp.ndarray,  # [C] bool
     q_terms: jnp.ndarray,  # [Q, T] int32, PAD-padded
     q_idf: jnp.ndarray,  # [Q, T] f32 (0 for PAD)
+    q_req: jnp.ndarray,  # [Q, TR] int32 required ids (PAD = unused)
+    q_neg: jnp.ndarray,  # [Q, TN] int32 forbidden ids (PAD = unused)
     avg_len: jnp.ndarray,  # [] f32
     k: int,
     chunk: int = 1 << 13,
+    use_ops: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """BM25 top-k: returns (score[Q,k] descending, ids[Q,k])."""
-    C, L = tokens.shape
+    C, U = terms.shape
     Q, T = q_terms.shape
     n_chunks = -(-C // chunk)
     pad = n_chunks * chunk - C
     if pad:
-        tokens = jnp.pad(tokens, ((0, pad), (0, 0)), constant_values=PAD)
+        terms = jnp.pad(terms, ((0, pad), (0, 0)), constant_values=PAD)
+        tf = jnp.pad(tf, ((0, pad), (0, 0)))
         length = jnp.pad(length, (0, pad))
         valid = jnp.pad(valid, (0, pad))
-    tok_c = tokens.reshape(n_chunks, chunk, L)
+    term_c = terms.reshape(n_chunks, chunk, U)
+    tf_c = tf.reshape(n_chunks, chunk, U)
     len_c = length.reshape(n_chunks, chunk)
     val_c = valid.reshape(n_chunks, chunk)
 
@@ -68,14 +97,31 @@ def _score_topk(
 
     def body(carry, inp):
         best_s, best_i = carry
-        toks, lens, vals, cidx = inp
-        # tf[q, c, t] = occurrences of query term t in doc c
-        eq = toks[None, :, :, None] == q_terms[:, None, None, :]  # [Q,c,L,T]
-        tf = jnp.sum(eq, axis=2).astype(jnp.float32)  # [Q, c, T]
+        toks, tfs, lens, vals, cidx = inp
+        # tfq[q, c, t] = stored count of query term t in doc c
+        eq = toks[None, :, :, None] == q_terms[:, None, None, :]  # [Q,c,U,T]
+        tfq = jnp.sum(
+            eq * tfs[None, :, :, None].astype(jnp.float32), axis=2
+        )  # [Q, c, T]
         norm = 1.0 - B + B * (lens.astype(jnp.float32) / avg_len)  # [c]
-        denom = tf + (K1 * norm)[None, :, None]
-        s = jnp.sum(q_idf[:, None, :] * tf * (K1 + 1.0) / denom, axis=-1)
-        s = jnp.where(vals[None, :], s, -INF)
+        denom = tfq + (K1 * norm)[None, :, None]
+        s = jnp.sum(q_idf[:, None, :] * tfq * (K1 + 1.0) / denom, axis=-1)
+        ok = vals[None, :]
+        if use_ops:
+            # presence masks: required terms must all appear, forbidden none
+            req_eq = toks[None, :, :, None] == q_req[:, None, None, :]
+            req_present = jnp.any(req_eq, axis=2)  # [Q, c, TR]
+            req_ok = jnp.all(
+                req_present | (q_req == PAD)[:, None, :], axis=-1
+            )
+            # PAD guard: padded doc-term slots (0) must not match padded
+            # q_neg slots (0) — only real forbidden ids count
+            neg_eq = (toks[None, :, :, None] == q_neg[:, None, None, :]) & (
+                q_neg != PAD
+            )[:, None, None, :]
+            neg_hit = jnp.any(jnp.any(neg_eq, axis=2), axis=-1)  # [Q, c]
+            ok = ok & req_ok & ~neg_hit
+        s = jnp.where(ok, s, -INF)
         cs, ci = jax.lax.top_k(s, min(k, chunk))
         ci = ci + cidx * chunk
         ci = jnp.where(jnp.isinf(cs), SENTINEL, ci)
@@ -86,7 +132,9 @@ def _score_topk(
         return (ns, ni), None
 
     (best_s, best_i), _ = jax.lax.scan(
-        body, init, (tok_c, len_c, val_c, jnp.arange(n_chunks, dtype=jnp.int32))
+        body,
+        init,
+        (term_c, tf_c, len_c, val_c, jnp.arange(n_chunks, dtype=jnp.int32)),
     )
     return best_s, best_i
 
@@ -95,65 +143,88 @@ class BM25Index:
     """Slot-addressed text index (the SlotIndex analogue for text).
 
     Host keeps tokenisation, document frequencies and slot allocation;
-    the device keeps token arrays and does all scoring.
+    the device keeps term/count arrays and does all scoring.
     """
 
     QUERY_BUCKETS = (1, 8, 32, 128)
 
     def __init__(self, initial_capacity: int = 1 << 14) -> None:
         cap = max(initial_capacity, 1024)
-        self._tokens = np.zeros((cap, MAX_DOC_TOKENS), dtype=np.int32)
+        self._terms = np.zeros((cap, MAX_DOC_TERMS), dtype=np.int32)
+        self._tf = np.zeros((cap, MAX_DOC_TERMS), dtype=np.int32)
         self._length = np.zeros((cap,), dtype=np.int32)
         self._valid = np.zeros((cap,), dtype=bool)
         self._frontier = 0
         self._size = 0
-        self._df: Counter = Counter()  # term id → doc frequency
+        self._df: Counter = Counter()  # term id → doc frequency (kept terms)
         self._total_len = 0
+        # full token sequences (host only) for phrase verification
+        self._seqs: list[np.ndarray | None] = []
         # device arrays are the scoring source of truth; host mutations
         # accumulate in `_dirty_slots` and flush as one row scatter per
         # query (not a full re-upload — documents are long-lived)
         self._dirty_slots: set[int] = set()
-        self._dev = None  # (tokens, length, valid) device arrays
+        self._dev = None  # (terms, tf, length, valid) device arrays
         self._dev_rows = 0  # device array row count (grows with frontier)
 
     # -- mutation ---------------------------------------------------------
 
     def _grow(self, need: int) -> None:
-        cap = self._tokens.shape[0]
+        cap = self._terms.shape[0]
         if need <= cap:
             return
         new_cap = cap
         while new_cap < need:
             new_cap *= 2
-        self._tokens = np.pad(self._tokens, ((0, new_cap - cap), (0, 0)))
+        self._terms = np.pad(self._terms, ((0, new_cap - cap), (0, 0)))
+        self._tf = np.pad(self._tf, ((0, new_cap - cap), (0, 0)))
         self._length = np.pad(self._length, (0, new_cap - cap))
         self._valid = np.pad(self._valid, (0, new_cap - cap))
 
     def add(self, text: str) -> int:
         """Insert a document, returns its slot."""
         ids = tokenizer.term_ids(text)
+        counts = Counter(ids)
+        if len(counts) > MAX_DOC_TERMS:
+            kept_pairs = counts.most_common(MAX_DOC_TERMS)
+            log.warning(
+                "document exceeds %d distinct terms (%d); dropping %d rare terms",
+                MAX_DOC_TERMS,
+                len(counts),
+                len(counts) - MAX_DOC_TERMS,
+            )
+        else:
+            kept_pairs = list(counts.items())
         slot = self._frontier
         self._grow(slot + 1)
-        kept = ids[:MAX_DOC_TOKENS]
-        self._tokens[slot, : len(kept)] = kept
-        self._tokens[slot, len(kept):] = PAD
+        u = len(kept_pairs)
+        self._terms[slot, :u] = [t for t, _ in kept_pairs]
+        self._terms[slot, u:] = PAD
+        self._tf[slot, :u] = [c for _, c in kept_pairs]
+        self._tf[slot, u:] = 0
         self._length[slot] = len(ids)
         self._valid[slot] = True
         self._frontier += 1
         self._size += 1
-        self._df.update(set(ids))
+        # df over exactly the stored term set — remove() subtracts the
+        # same set, so idf cannot drift under churn
+        self._df.update(t for t, _ in kept_pairs)
         self._total_len += len(ids)
+        while len(self._seqs) <= slot:
+            self._seqs.append(None)
+        self._seqs[slot] = np.asarray(ids, dtype=np.int32)
         self._dirty_slots.add(slot)
         return slot
 
     def remove(self, slot: int) -> None:
         if not (0 <= slot < self._frontier) or not self._valid[slot]:
             return
-        ids = [t for t in self._tokens[slot] if t != PAD]
-        self._df.subtract(set(ids))
+        stored = self._terms[slot]
+        self._df.subtract(int(t) for t in stored if t != PAD)
         self._total_len -= int(self._length[slot])
         self._valid[slot] = False
         self._size -= 1
+        self._seqs[slot] = None
         self._dirty_slots.add(slot)
 
     def count(self) -> int:
@@ -166,12 +237,13 @@ class BM25Index:
         # is a doubling event, not a per-add one; padded rows score as
         # invalid (host _valid is False beyond the frontier)
         rows = 1 << max(self._frontier, 1024).bit_length()
-        rows = min(rows, self._tokens.shape[0])
+        rows = min(rows, self._terms.shape[0])
         if self._dev is None or self._dev_rows != rows:
             # (re)size: full upload — happens on first query after growth,
             # amortised by the doubling host capacity
             self._dev = (
-                jnp.asarray(self._tokens[:rows]),
+                jnp.asarray(self._terms[:rows]),
+                jnp.asarray(self._tf[:rows]),
                 jnp.asarray(self._length[:rows]),
                 jnp.asarray(self._valid[:rows]),
             )
@@ -181,10 +253,11 @@ class BM25Index:
             # incremental: scatter only the mutated rows
             slots = np.fromiter(self._dirty_slots, dtype=np.int32)
             slots = slots[slots < rows]
-            tok, length, valid = self._dev
+            terms, tf, length, valid = self._dev
             idx = jnp.asarray(slots)
             self._dev = (
-                tok.at[idx].set(jnp.asarray(self._tokens[slots])),
+                terms.at[idx].set(jnp.asarray(self._terms[slots])),
+                tf.at[idx].set(jnp.asarray(self._tf[slots])),
                 length.at[idx].set(jnp.asarray(self._length[slots])),
                 valid.at[idx].set(jnp.asarray(self._valid[slots])),
             )
@@ -196,29 +269,67 @@ class BM25Index:
         return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
 
     def search(self, texts: list[str], k: int) -> list[list[tuple[int, float]]]:
-        """Batch of query strings → per query [(slot, score) descending]."""
+        """Batch of query strings → per query [(slot, score) descending].
+
+        Supports the simple_query_string operator subset (query.py):
+        +required, -forbidden, "phrases" (positional, host-verified)."""
         if self._size == 0:
             return [[] for _ in texts]
+        parsed = [query_mod.parse(t) for t in texts]
+        use_ops = any(p.has_operators for p in parsed)
+        any_phrase = any(p.phrases or p.neg_phrases for p in parsed)
+
         Q = len(texts)
         b = next((x for x in self.QUERY_BUCKETS if Q <= x), Q)
         q_terms = np.zeros((b, MAX_QUERY_TERMS), dtype=np.int32)
         q_idf = np.zeros((b, MAX_QUERY_TERMS), dtype=np.float32)
-        for j, text in enumerate(texts):
-            uniq = list(dict.fromkeys(tokenizer.term_ids(text)))[:MAX_QUERY_TERMS]
+        q_req = np.zeros((b, MAX_OP_TERMS), dtype=np.int32)
+        q_neg = np.zeros((b, MAX_OP_TERMS), dtype=np.int32)
+        for j, p in enumerate(parsed):
+            uniq = p.terms[:MAX_QUERY_TERMS]
             q_terms[j, : len(uniq)] = uniq
             q_idf[j, : len(uniq)] = [self._idf(t) for t in uniq]
-        tokens, length, valid = self._device_arrays()
+            req = p.required[:MAX_OP_TERMS]
+            q_req[j, : len(req)] = req
+            neg = p.forbidden[:MAX_OP_TERMS]
+            q_neg[j, : len(neg)] = neg
+
+        k_fetch = min(PHRASE_OVERFETCH * k, self._frontier) if any_phrase else k
+        k_fetch = max(k_fetch, k)
+        arrays = self._device_arrays()
         avg = np.float32(max(self._total_len / max(self._size, 1), 1.0))
         scores, ids = _score_topk(
-            tokens, length, valid, jnp.asarray(q_terms), jnp.asarray(q_idf), jnp.float32(avg), k
+            *arrays,
+            jnp.asarray(q_terms),
+            jnp.asarray(q_idf),
+            jnp.asarray(q_req),
+            jnp.asarray(q_neg),
+            jnp.float32(avg),
+            k_fetch,
+            use_ops=use_ops,
         )
         scores, ids = np.asarray(scores), np.asarray(ids)
         out = []
         for j in range(Q):
-            hits = [
-                (int(s), float(sc))
-                for s, sc in zip(ids[j], scores[j])
-                if s != 2**31 - 1 and np.isfinite(sc) and sc > 0
-            ]
+            p = parsed[j]
+            # a pure-operator query ("-word") scores 0 on every surviving
+            # doc; accept zero scores in that case, otherwise require > 0
+            min_ok = -0.5 if (not p.terms and p.has_operators) else 0.0
+            hits = []
+            for s, sc in zip(ids[j], scores[j]):
+                if s == 2**31 - 1 or not np.isfinite(sc) or sc <= min_ok:
+                    continue
+                slot = int(s)
+                if p.phrases or p.neg_phrases:
+                    seq = self._seqs[slot] if slot < len(self._seqs) else None
+                    if seq is None:
+                        continue
+                    if any(not query_mod.phrase_in(seq, ph) for ph in p.phrases):
+                        continue
+                    if any(query_mod.phrase_in(seq, ph) for ph in p.neg_phrases):
+                        continue
+                hits.append((slot, float(sc)))
+                if len(hits) == k:
+                    break
             out.append(hits)
         return out
