@@ -209,3 +209,68 @@ async def test_openapi_and_health():
     finally:
         await c.close()
         await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_object_primary_key_over_http():
+    """JSON-object primary keys map to (hashable) column tuples; bad keys
+    get a 400, never an orphan device row (round-2 regression: a dict key
+    used to slip through as an unhashable tuple AFTER the device insert,
+    so count() grew but search/remove could never reach the row)."""
+    c, engine = await _make_client()
+    try:
+        r = await c.put(
+            "/api/v1/indexes/ks/obj",
+            json={"dimensions": 4, "key_columns": ["id", "name"]},
+        )
+        assert r.status == 200
+
+        # object form, fields in any order — ordered by key_columns
+        r = await c.post(
+            "/api/v1/indexes/ks/obj/add",
+            json={
+                "primary_key": {"name": "one", "id": 1},
+                "embedding": [1.0, 0.0, 0.0, 0.0],
+            },
+        )
+        assert r.status == 200
+        async with asyncio.timeout(60):
+            while await (await c.get("/api/v1/indexes/ks/obj/count")).json() != 1:
+                await asyncio.sleep(0)
+
+        r = await c.post(
+            "/api/v1/indexes/ks/obj/ann",
+            json={"embedding": [1.0, 0.0, 0.0, 0.0], "limit": 1},
+        )
+        body = await r.json()
+        assert body["primary_keys"] == {"id": [1], "name": ["one"]}
+
+        # missing a declared column → 400, count unchanged
+        r = await c.post(
+            "/api/v1/indexes/ks/obj/add",
+            json={"primary_key": {"id": 2}, "embedding": [0.0, 1.0, 0.0, 0.0]},
+        )
+        assert r.status == 400
+        # nested (unhashable) value → 400, count unchanged
+        r = await c.post(
+            "/api/v1/indexes/ks/obj/add",
+            json={
+                "primary_key": {"id": 2, "name": {"nested": True}},
+                "embedding": [0.0, 1.0, 0.0, 0.0],
+            },
+        )
+        assert r.status == 400
+        assert await (await c.get("/api/v1/indexes/ks/obj/count")).json() == 1
+
+        # object remove round-trips through the same mapping
+        r = await c.post(
+            "/api/v1/indexes/ks/obj/remove",
+            json={"primary_key": {"id": 1, "name": "one"}},
+        )
+        assert r.status == 200
+        async with asyncio.timeout(60):
+            while await (await c.get("/api/v1/indexes/ks/obj/count")).json() != 0:
+                await asyncio.sleep(0)
+    finally:
+        await c.close()
+        await engine.close()

@@ -220,16 +220,42 @@ async def get_count(request: web.Request) -> web.Response:
     return web.json_response(await index.count())
 
 
+def _primary_key(raw, index) -> tuple:
+    """Normalize a JSON primary key into a hashable tuple.
+
+    Accepts a scalar, a list of scalars, or an object (column → value;
+    ordered by the index's key_columns when declared, else by JSON field
+    order).  Rejects nested containers — they would poison the keymap.
+    """
+    if isinstance(raw, dict):
+        key_columns = tuple(getattr(index.metadata, "key_columns", ()) or ())
+        if key_columns:
+            missing = [c for c in key_columns if c not in raw]
+            if missing:
+                raise ValueError(f"primary_key missing columns: {missing}")
+            values = [raw[c] for c in key_columns]
+        else:
+            values = list(raw.values())
+    elif isinstance(raw, list):
+        values = raw
+    else:
+        values = [raw]
+    for v in values:
+        if not isinstance(v, (str, int, float, bool)) and v is not None:
+            raise ValueError(
+                f"primary_key values must be scalars, got {type(v).__name__}"
+            )
+    return tuple(values)
+
+
 async def post_ann_add(request: web.Request) -> web.Response:
     index = await _get_index(request, _index_id(request))
     if index is None:
         return _json_error(404)
     body = await request.json()
-    key = tuple(body["primary_key"]) if isinstance(
-        body["primary_key"], list
-    ) else (body["primary_key"],)
     embedding = np.asarray(body["embedding"], dtype=np.float32)
     try:
+        key = _primary_key(body["primary_key"], index)
         await index.add_or_replace(key, embedding)
     except ValueError as exc:
         return _json_error(400, str(exc))
@@ -241,9 +267,10 @@ async def post_ann_remove(request: web.Request) -> web.Response:
     if index is None:
         return _json_error(404)
     body = await request.json()
-    key = tuple(body["primary_key"]) if isinstance(
-        body["primary_key"], list
-    ) else (body["primary_key"],)
+    try:
+        key = _primary_key(body["primary_key"], index)
+    except ValueError as exc:
+        return _json_error(400, str(exc))
     await index.remove(key)
     return web.Response(status=200)
 

@@ -91,6 +91,14 @@ class AnnIndexBackend:
         return out
 
     def _apply_upserts(self, batch: list[tuple[PrimaryKey, np.ndarray]]) -> None:
+        for key, _ in batch:
+            # Probe hashability BEFORE the device insert: a bad key must
+            # not leave an orphan row that count() sees but no lookup can
+            # ever reach.
+            try:
+                hash(key)
+            except TypeError as exc:
+                raise ValueError(f"unusable primary key {key!r}: {exc}") from exc
         vecs = np.stack([v for _, v in batch])
         slots = self.index.add(vecs)
         dead = []
