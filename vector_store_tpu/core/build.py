@@ -236,6 +236,20 @@ def insert_impl(
         neighbors, nbr_dist, tgt, src, d, e_live
     )
 
+    # --- 5. router maintenance: assign new rows to their centroid rings
+    # (incremental half of the hierarchical router, core/cluster.py).
+    route_members, route_cnt = state.route_members, state.route_cnt
+    if cfg.route_k > 0:
+        from .cluster import ring_assign
+
+        ad = dist_mod.pairwise(
+            vecs, state.route_centroids.astype(vecs.dtype), cfg.space
+        )  # [M, K]
+        cid = jnp.argmin(ad, axis=-1).astype(jnp.int32)
+        route_members, route_cnt = ring_assign(
+            route_members, route_cnt, cid, slots, live
+        )
+
     n_new = jnp.sum(live.astype(jnp.int32))
     new_frontier = jnp.maximum(
         state.frontier, jnp.max(jnp.where(live, slots + 1, 0))
@@ -248,6 +262,9 @@ def insert_impl(
         valid=valid,
         size=state.size + n_new,
         frontier=new_frontier,
+        route_centroids=state.route_centroids,
+        route_members=route_members,
+        route_cnt=route_cnt,
     )
 
 

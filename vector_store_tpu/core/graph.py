@@ -50,6 +50,11 @@ class GraphState(NamedTuple):
     valid: jnp.ndarray  # [C] bool
     size: jnp.ndarray  # [] int32
     frontier: jnp.ndarray  # [] int32
+    # Hierarchical router (core/cluster.py) — the HNSW-upper-layers role.
+    # Dummy 1-row arrays when cfg.route_k == 0 (flat strided routing).
+    route_centroids: jnp.ndarray  # [K', D] compute dtype
+    route_members: jnp.ndarray  # [K', Bm] int32 ring of member slots
+    route_cnt: jnp.ndarray  # [K'] int32 ring cursors
 
     @property
     def capacity(self) -> int:
@@ -79,6 +84,13 @@ class GraphConfig:
     dtype: str = "bfloat16"  # storage dtype: "float32" | "bfloat16" | "int8"
     routing_sample: int = 1024  # strided sample scored by matmul for entry
     entry_points: int = 8  # entries per query taken from the routing stage
+    # Hierarchical routing (two-level, core/cluster.py).  route_k > 0
+    # switches routing_entries from the flat strided sample to:
+    # [Q, route_k] centroid matmul → top `route_probes` clusters →
+    # score their ring members → top entry_points seed the beam.
+    route_k: int = 0  # centroid count (0 = flat routing)
+    route_members_per: int = 16  # ring size Bm per centroid
+    route_probes: int = 8  # clusters probed per query
     prune_alpha: float = 1.2  # robust-prune slack (DiskANN-style)
     # Hybrid edge selection: the first `keep_nearest` edges are the plain
     # nearest candidates (guarantees the true k-NN stay edge-covered in
@@ -115,8 +127,26 @@ class GraphConfig:
         return jnp.float32 if self.dtype == "float32" else jnp.bfloat16
 
 
+def router_shapes(cfg: GraphConfig) -> tuple[int, int]:
+    """(K', Bm') array dims for the router fields — 1-wide dummies when
+    hierarchical routing is off, so flat-mode states stay tiny."""
+    if cfg.route_k > 0:
+        return cfg.route_k, cfg.route_members_per
+    return 1, 1
+
+
+def init_router(cfg: GraphConfig) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    k, bm = router_shapes(cfg)
+    return (
+        jnp.zeros((k, cfg.dims), dtype=cfg.compute_dtype),
+        jnp.full((k, bm), SENTINEL, dtype=jnp.int32),
+        jnp.zeros((k,), dtype=jnp.int32),
+    )
+
+
 def init(cfg: GraphConfig, capacity: int) -> GraphState:
     """Fresh empty index with reserved capacity (usearch.rs:98-99 reserve)."""
+    rc, rm, rn = init_router(cfg)
     return GraphState(
         vectors=jnp.zeros((capacity, cfg.dims), dtype=cfg.jdtype),
         scales=jnp.ones((capacity,), dtype=jnp.float32),
@@ -125,6 +155,9 @@ def init(cfg: GraphConfig, capacity: int) -> GraphState:
         valid=jnp.zeros((capacity,), dtype=bool),
         size=jnp.zeros((), dtype=jnp.int32),
         frontier=jnp.zeros((), dtype=jnp.int32),
+        route_centroids=rc,
+        route_members=rm,
+        route_cnt=rn,
     )
 
 
@@ -146,6 +179,10 @@ def grow(state: GraphState, new_capacity: int) -> GraphState:
         valid=jnp.pad(state.valid, (0, pad)),
         size=state.size,
         frontier=state.frontier,
+        # router arrays are capacity-independent (rebuilt on growth events)
+        route_centroids=state.route_centroids,
+        route_members=state.route_members,
+        route_cnt=state.route_cnt,
     )
 
 
@@ -191,6 +228,42 @@ def store_vectors(vecs_f32: jnp.ndarray, cfg: GraphConfig):
     )
 
 
+def _routed_entries(
+    state: GraphState, queries: jnp.ndarray, cfg: GraphConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level entry selection via the centroid router (core/cluster.py):
+    one [Q, K] matmul against the dense centroid bank → top `route_probes`
+    clusters → gather + score their ring members → best `entry_points`.
+
+    Unlike the flat path, nothing here gathers O(bank/8) rows per call —
+    the centroid bank is dense and stationary, and the per-query member
+    gather is ≤ probes × Bm rows.  This is what lets graph recall hold
+    past ~2M rows/chip (the round-1 flat sample's hard cap).
+    """
+    Q = queries.shape[0]
+    K, Bm = state.route_members.shape
+    cd = dist_mod.pairwise(
+        queries, state.route_centroids.astype(queries.dtype), cfg.space
+    )  # [Q, K]
+    p = min(cfg.route_probes, K)
+    if cfg.approx_topk and K >= 4096:
+        from .topk import topk_ascending_approx
+
+        _, cids = topk_ascending_approx(cd, p)
+    else:
+        _, cids = jax.lax.top_k(-cd, p)
+    cand = jnp.take(state.route_members, cids, axis=0).reshape(Q, p * Bm)
+    vecs, is_sent = gather_vectors(state, cand, cfg)  # [Q, p*Bm, D]
+    d = dist_mod.gathered(queries, vecs, cfg.space)
+    d = jnp.where(is_sent, jnp.inf, d)
+    E = min(cfg.entry_points, p * Bm)
+    neg, pos = jax.lax.top_k(-d, E)
+    dist = -neg
+    ids = jnp.take_along_axis(cand, pos, axis=-1)
+    ids = jnp.where(jnp.isinf(dist), SENTINEL, ids)
+    return dist, ids
+
+
 def routing_entries(
     state: GraphState,
     queries: jnp.ndarray,  # [Q, D] preprocessed
@@ -200,9 +273,12 @@ def routing_entries(
     one MXU matmul and return the best `entry_points` per query.
 
     This replaces HNSW's upper-layer greedy descent with a single dense
-    block — the TPU-native way to cut graph hops.
+    block — the TPU-native way to cut graph hops.  With cfg.route_k set,
+    the flat sample gives way to the two-level centroid router.
     Returns (dist[Q, E], ids[Q, E]).
     """
+    if cfg.route_k > 0:
+        return _routed_entries(state, queries, cfg)
     C = state.capacity
     S = min(cfg.routing_sample, C)
     # Strided sample over the full capacity; rows beyond the frontier are

@@ -28,6 +28,12 @@ from .graph import GraphConfig, GraphState
 # cache entry).  The last partial block is padded with dead lanes.
 INSERT_BLOCK = 256
 
+# Hierarchical-router activation threshold: below this many rows the flat
+# strided sample (≤ rows/8 gathered once per query batch) is cheap and
+# entry quality is excellent; above it the centroid router takes over and
+# is rebuilt every time the row count doubles (core/cluster.py).
+ROUTE_MIN_ROWS = 1 << 18
+
 # Query batches are padded up to the nearest bucket.
 QUERY_BUCKETS = (1, 8, 32, 128, 512, 2048)
 
@@ -106,6 +112,7 @@ class SlotIndex:
             self.cfg = dataclasses.replace(self.cfg, degree=1)
         self._state: GraphState = graph.init(self.cfg, cap)
         self._exact = exact
+        self._route_built_at = 0  # frontier at last router (re)build
         self._lock = threading.Lock()
 
     @classmethod
@@ -128,6 +135,7 @@ class SlotIndex:
         idx.insert_block = insert_block
         idx._exact = exact
         idx._state = state
+        idx._route_built_at = int(state.frontier) if cfg.route_k > 0 else 0
         idx._lock = threading.Lock()
         return idx
 
@@ -198,7 +206,45 @@ class SlotIndex:
                     jnp.asarray(live),
                     self.cfg,
                 )
+                self._maybe_rebuild_router_locked(base + off + m)
             return slots
+
+    # -- hierarchical router ------------------------------------------------
+
+    def _maybe_rebuild_router_locked(self, frontier: int) -> None:
+        """(Re)cluster when the bank doubled since the last build.
+
+        Called under self._lock.  Exact-scan indexes never route; small
+        banks stay on the flat sample (ROUTE_MIN_ROWS)."""
+        if self._exact or frontier < ROUTE_MIN_ROWS:
+            return
+        if frontier < 2 * self._route_built_at:
+            return
+        self._rebuild_router_locked(frontier)
+
+    def _rebuild_router_locked(self, frontier: int, k: int | None = None) -> None:
+        from . import cluster
+
+        k = k or cluster.route_k_for(frontier)
+        cfg = dataclasses.replace(self.cfg, route_k=k)
+        centroids, members, m_cnt = cluster.build_router(
+            self._state, cfg, k, cfg.route_members_per
+        )
+        self.cfg = cfg
+        self._state = self._state._replace(
+            route_centroids=centroids,
+            route_members=members,
+            route_cnt=m_cnt,
+        )
+        self._route_built_at = frontier
+
+    def rebuild_router(self) -> None:
+        """Force a router rebuild at the current frontier (bulk-load tail
+        call; add() triggers the same thing automatically on doubling)."""
+        with self._lock:
+            f = int(self._state.frontier)
+            if not self._exact and f >= ROUTE_MIN_ROWS:
+                self._rebuild_router_locked(f)
 
     def refine(self, passes: int = 1, block: int = 256) -> None:
         """Run NN-descent refinement sweeps over the whole graph
@@ -243,8 +289,11 @@ class SlotIndex:
                 2 * self.insert_block,
             )
             self.cfg = dataclasses.replace(
-                self.cfg, routing_sample=routing_sample_for(cap)
+                self.cfg,
+                routing_sample=routing_sample_for(cap),
+                route_k=0,  # router rebuilt from scratch by the re-add
             )
+            self._route_built_at = 0
             self._state = graph.init(self.cfg, cap)
         # note: vectors are already preprocessed (unit-norm for cosine);
         # re-preprocessing is idempotent for all supported spaces

@@ -52,6 +52,9 @@ def save(path: str, index: SlotIndex, keymap_blob: Optional[dict] = None) -> Non
         valid=np.asarray(state.valid),
         size=np.asarray(state.size),
         frontier=np.asarray(state.frontier),
+        route_centroids=np.asarray(state.route_centroids.astype(jnp.float32)),
+        route_members=np.asarray(state.route_members),
+        route_cnt=np.asarray(state.route_cnt),
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         keymap=np.frombuffer(
             json.dumps(keymap_blob or {}).encode(), dtype=np.uint8
@@ -71,6 +74,15 @@ def load(path: str) -> tuple[SlotIndex, dict]:
         # older snapshots predate the insert_block field: re-derive the
         # block size SlotIndex.__init__ would have chosen for the mode
         insert_block = meta.get("insert_block", 4096 if exact else 256)
+        if "route_centroids" in z.files:
+            rc = jnp.asarray(z["route_centroids"]).astype(cfg.compute_dtype)
+            rm = jnp.asarray(z["route_members"])
+            rn = jnp.asarray(z["route_cnt"])
+        else:  # pre-router snapshot: dummy arrays, flat routing
+            from .graph import init_router
+
+            cfg = GraphConfig(**{**meta["cfg"], "route_k": 0})
+            rc, rm, rn = init_router(cfg)
         state = GraphState(
             vectors=jnp.asarray(z["vectors"]).astype(cfg.jdtype),
             scales=jnp.asarray(z["scales"]),
@@ -79,6 +91,9 @@ def load(path: str) -> tuple[SlotIndex, dict]:
             valid=jnp.asarray(z["valid"]),
             size=jnp.asarray(z["size"]),
             frontier=jnp.asarray(z["frontier"]),
+            route_centroids=rc,
+            route_members=rm,
+            route_cnt=rn,
         )
         index = SlotIndex.restore(params, cfg, state, exact, insert_block)
         keymap_blob = json.loads(bytes(z["keymap"]).decode())

@@ -51,6 +51,7 @@ def _stack_init(cfg: GraphConfig, n_shards: int, capacity: int, mesh: Mesh) -> G
     mk = lambda shape, dtype, fill: jax.device_put(
         jnp.full(shape, fill, dtype=dtype), sh
     )
+    rk, rbm = graph.router_shapes(cfg)
     return GraphState(
         vectors=mk((n_shards, capacity, cfg.dims), cfg.jdtype, 0),
         scales=mk((n_shards, capacity), jnp.float32, 1.0),
@@ -59,6 +60,9 @@ def _stack_init(cfg: GraphConfig, n_shards: int, capacity: int, mesh: Mesh) -> G
         valid=mk((n_shards, capacity), bool, False),
         size=mk((n_shards,), jnp.int32, 0),
         frontier=mk((n_shards,), jnp.int32, 0),
+        route_centroids=mk((n_shards, rk, cfg.dims), cfg.compute_dtype, 0),
+        route_members=mk((n_shards, rk, rbm), jnp.int32, graph.SENTINEL),
+        route_cnt=mk((n_shards, rk), jnp.int32, 0),
     )
 
 
@@ -103,7 +107,7 @@ def _sharded_search(state, queries, cfg, k, mesh_holder):
     return _shard_map_fn(
         fn,
         mesh=mesh,
-        in_specs=(GraphState(*([P(SHARD_AXIS)] * 7)), P()),
+        in_specs=(GraphState(*([P(SHARD_AXIS)] * len(GraphState._fields))), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )(state, queries)
@@ -126,12 +130,12 @@ def _sharded_insert(state, bases, vecs, live, cfg, mesh_holder):
         fn,
         mesh=mesh,
         in_specs=(
-            GraphState(*([P(SHARD_AXIS)] * 7)),
+            GraphState(*([P(SHARD_AXIS)] * len(GraphState._fields))),
             P(SHARD_AXIS),
             P(SHARD_AXIS),
             P(SHARD_AXIS),
         ),
-        out_specs=GraphState(*([P(SHARD_AXIS)] * 7)),
+        out_specs=GraphState(*([P(SHARD_AXIS)] * len(GraphState._fields))),
         check_vma=False,
     )(state, bases, vecs, live)
 
@@ -150,11 +154,11 @@ def _sharded_delete(state, slots, live, mesh_holder):
         fn,
         mesh=mesh,
         in_specs=(
-            GraphState(*([P(SHARD_AXIS)] * 7)),
+            GraphState(*([P(SHARD_AXIS)] * len(GraphState._fields))),
             P(SHARD_AXIS),
             P(SHARD_AXIS),
         ),
-        out_specs=GraphState(*([P(SHARD_AXIS)] * 7)),
+        out_specs=GraphState(*([P(SHARD_AXIS)] * len(GraphState._fields))),
         check_vma=False,
     )(state, slots, live)
 
@@ -244,6 +248,9 @@ class ShardedSlotIndex:
             valid=put(jnp.pad(s.valid, ((0, 0), (0, pad)))),
             size=s.size,
             frontier=s.frontier,
+            route_centroids=s.route_centroids,
+            route_members=s.route_members,
+            route_cnt=s.route_cnt,
         )
         import dataclasses as _dc
 
