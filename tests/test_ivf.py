@@ -1,0 +1,168 @@
+"""IVF bucketed backend tests — core/ivf.py mechanics + engine kind.
+
+Small cluster_min forces the staging→clustered transition at test scale.
+"""
+
+import numpy as np
+import pytest
+
+from vector_store_tpu.core.ivf import IvfIndex
+from vector_store_tpu.types import IndexParams
+
+
+def _clustered(n, d, seed=0, n_clusters=64):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    return centers[rng.integers(0, n_clusters, n)] + 0.3 * rng.normal(
+        size=(n, d)
+    ).astype(np.float32)
+
+
+def _recall(ids, exact):
+    q, k = exact.shape
+    return np.mean(
+        [len(set(ids[i][:k]) & set(exact[i])) / k for i in range(q)]
+    )
+
+
+def test_staging_phase_exact():
+    """Before clustering, IVF serves exact scans over sequential buckets."""
+    d = 24
+    x = _clustered(500, d, seed=1)
+    idx = IvfIndex(IndexParams(dimensions=d, space="cosine"), cluster_min=10_000)
+    ids = idx.add(x)
+    assert idx.count() == 500 and not idx._clustered
+    assert (ids == np.arange(500)).all()
+    dist, got = idx.search(x[:16], 1)
+    assert (got[:, 0] == np.arange(16)).all()
+    # remove works in staging
+    idx.remove(ids[:3])
+    assert idx.count() == 497
+    _, got = idx.search(x[0], 1)
+    assert got[0] != 0
+
+
+@pytest.fixture(scope="module")
+def clustered_ivf():
+    d = 32
+    x = _clustered(12_000, d, seed=2)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine"),
+        cluster_min=4_000,
+        probes=16,
+    )
+    idx.add(x)
+    return idx, x
+
+
+def test_clustered_recall(clustered_ivf):
+    idx, x = clustered_ivf
+    assert idx._clustered
+    rng = np.random.default_rng(5)
+    qi = rng.choice(len(x), 128, replace=False)
+    q = x[qi] + 0.1 * rng.normal(size=(128, x.shape[1])).astype(np.float32)
+    _, exact = idx.exact_search(q, 10)
+    _, got = idx.search(q, 10)
+    assert _recall(got, exact) >= 0.9
+
+
+def test_ids_stable_across_recluster(clustered_ivf):
+    """Reclustering (and compact) must never invalidate issued ids."""
+    idx, x = clustered_ivf
+    probe = x[:8]
+    _, before = idx.search(probe, 1)
+    idx.compact()  # full recluster
+    _, after = idx.search(probe, 1)
+    assert (before == after).all()
+    # ids survive growth + further adds too
+    rng = np.random.default_rng(9)
+    new = (5.0 + rng.random((4, x.shape[1]))).astype(np.float32)
+    nid = idx.add(new)
+    _, got = idx.search(new, 1)
+    assert (got[:, 0] == nid).all()
+    _, again = idx.search(probe, 1)
+    assert (again == before).all()
+
+
+def test_remove_and_tombstones(clustered_ivf):
+    idx, x = clustered_ivf
+    n0 = idx.count()
+    _, top = idx.search(x[100], 1)
+    victim = top[0]
+    idx.remove([victim])
+    assert idx.count() == n0 - 1
+    _, got = idx.search(x[100], 5)
+    assert victim not in got
+    # double-remove and unknown ids are no-ops
+    idx.remove([victim, 10**9, -5])
+    assert idx.count() == n0 - 1
+    # compact drops tombstones, ids unchanged
+    idx.compact()
+    assert idx.count() == n0 - 1
+    _, got = idx.search(x[100], 5)
+    assert victim not in got
+
+
+def test_bucket_overflow_spills_and_grows():
+    """Hammer one region so buckets overflow: spill + growth keep all rows."""
+    d = 16
+    rng = np.random.default_rng(3)
+    base = _clustered(5000, d, seed=4)
+    idx = IvfIndex(IndexParams(dimensions=d, space="cosine"), cluster_min=2_000)
+    idx.add(base)
+    assert idx._clustered
+    # 4000 near-duplicates of one point — far more than any bucket holds
+    hot = base[7] + 0.01 * rng.normal(size=(4000, d)).astype(np.float32)
+    ids = idx.add(hot)
+    assert idx.count() == 9000
+    _, got = idx.search(hot[:32], 1)
+    d0, _ = idx.search(hot[:32], 1)
+    assert np.isfinite(d0).all()
+    # every hot row findable (its own nearest within the dup cloud is fine)
+    assert set(got[:, 0]).issubset(set(ids.tolist()) | {7})
+
+
+@pytest.mark.asyncio
+async def test_ivf_kind_over_http():
+    """kind=ivf serves the same ANN REST surface."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from vector_store_tpu import new_index_factory
+    from vector_store_tpu.api.routes import build_app
+    from vector_store_tpu.engine.engine import new_engine
+
+    engine = await new_engine(new_index_factory())
+    c = TestClient(TestServer(build_app(engine)))
+    await c.start_server()
+    try:
+        r = await c.put(
+            "/api/v1/indexes/ks/iv",
+            json={"dimensions": 8, "kind": "ivf", "key_columns": ["id"]},
+        )
+        assert r.status == 200
+        for i in range(32):
+            v = np.zeros(8)
+            v[i % 8] = 1.0 + i / 64
+            r = await c.post(
+                "/api/v1/indexes/ks/iv/add",
+                json={"primary_key": [i], "embedding": v.tolist()},
+            )
+            assert r.status == 200
+        async with asyncio.timeout(60):
+            while await (await c.get("/api/v1/indexes/ks/iv/count")).json() != 32:
+                await asyncio.sleep(0)
+        r = await c.post(
+            "/api/v1/indexes/ks/iv/ann",
+            json={"embedding": [1.0, 0, 0, 0, 0, 0, 0, 0], "limit": 2},
+        )
+        body = await r.json()
+        assert r.status == 200 and len(body["distances"]) == 2
+        r = await c.post(
+            "/api/v1/indexes/ks/iv/compact", json={}
+        )
+        assert (await r.json())["count"] == 32
+    finally:
+        await c.close()
+        await engine.close()

@@ -48,6 +48,9 @@ def new_index_factory(
             "exact": AnnIndexFactory(
                 exact=True, max_batch=max_batch, window_s=window_s
             ),
+            "ivf": AnnIndexFactory(
+                backend="ivf", max_batch=max_batch, window_s=window_s
+            ),
             "text": TextIndexFactory(window_s=window_s),
         }
     )

@@ -1,0 +1,602 @@
+"""IVF bucketed backend — cluster-partitioned storage scanned by the MXU.
+
+The graph index (core/graph.py) replaces usearch's pointer-chasing HNSW
+traversal (reference: src/index/usearch.rs:274-277) with batched gathers,
+but gathers are row-count-bound on TPU.  This backend removes them from
+the hot path entirely — the TPU-native answer at the 1M-100M scale:
+
+  storage is bucketed by k-means cluster: vectors[K, B, D].  A probed
+  cluster is one CONTIGUOUS block, so candidate fetch is a block gather
+  (p blocks of B·D bytes per query — full HBM bandwidth, not the row-
+  gather's descriptor-rate limit), and scoring is a dense batched MXU
+  contraction.  Per batch: one [Q, K] centroid matmul → top-`probes`
+  buckets → block-gather → [Q, p·B] exact distances → top-k.
+
+Row ids are an indirection (`rowid[K, B]`), never positional: a row's
+public id is a monotonic counter, so reclustering — triggered whenever
+the live count doubles — re-places every row WITHOUT invalidating ids.
+No remap event ever reaches the caller (the graph backend's compaction
+needs one; here compact() is just a recluster that drops tombstones).
+
+Trade against the graph backend: queries scan p·B rows instead of
+walking ~ef·beam edges, so per-query work is higher at small N but flat
+in N (probes stay constant as K grows); throughput at batch is MXU/HBM-
+bound instead of gather-bound, which on this hardware is worth an order
+of magnitude.  Deletes are tombstones; inserts append to bucket tails
+(spilling to the next-nearest cluster when full); both are exactly the
+usearch add/remove semantics (src/index/usearch.rs:174-249).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import IndexParams
+from . import distance as dist_mod
+from .topk import INF, SENTINEL, topk_ascending
+
+# Rows accumulated (sequential buckets) before the first clustering.
+CLUSTER_MIN_ROWS = 1 << 16
+# Spill candidates per insert: a row tries its A nearest clusters in order.
+SPILL = 4
+# Query-batch chunk for the block-gather step (bounds the [q, p·B, D]
+# transient).
+QCHUNK = 256
+PROBE_DEFAULT = 16
+
+
+class IvfState(NamedTuple):
+    centroids: jnp.ndarray  # [K, D] compute dtype
+    vectors: jnp.ndarray  # [K, B, D] storage dtype
+    scales: jnp.ndarray  # [K, B] f32 (int8 dequant; 1.0 otherwise)
+    valid: jnp.ndarray  # [K, B] bool
+    rowid: jnp.ndarray  # [K, B] int32 public ids (indirection)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def bucket(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def dims(self) -> int:
+        return self.vectors.shape[2]
+
+
+def k_for(rows: int) -> int:
+    """Cluster count: ~128 rows per bucket, MXU-aligned, capped at 64K."""
+    k = min(max(rows // 128, 1024), 1 << 16)
+    return max((k // 128) * 128, 128)
+
+
+def bucket_for(rows: int, k: int) -> int:
+    """Bucket width with slack for skew + future inserts."""
+    return max(int(np.ceil(1.5 * rows / k / 16)) * 16, 32)
+
+
+def _storage_dtype(dtype: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}[
+        dtype
+    ]
+
+
+def _compute_dtype(dtype: str):
+    return jnp.float32 if dtype == "float32" else jnp.bfloat16
+
+
+def init(dims: int, k: int, bucket: int, dtype: str) -> IvfState:
+    return IvfState(
+        centroids=jnp.zeros((k, dims), dtype=_compute_dtype(dtype)),
+        vectors=jnp.zeros((k, bucket, dims), dtype=_storage_dtype(dtype)),
+        scales=jnp.ones((k, bucket), dtype=jnp.float32),
+        valid=jnp.zeros((k, bucket), dtype=bool),
+        rowid=jnp.full((k, bucket), SENTINEL, dtype=jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# jitted device steps
+
+
+@functools.partial(jax.jit, static_argnames=("space", "a"), donate_argnums=())
+def assign_top(
+    centroids: jnp.ndarray, vecs: jnp.ndarray, space: str, a: int
+) -> jnp.ndarray:
+    """[M, D] preprocessed rows → their `a` nearest clusters [M, a]."""
+    d = dist_mod.pairwise(vecs, centroids, space)
+    _, cids = jax.lax.top_k(-d, a)
+    return cids.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("space", "dtype"), donate_argnums=(0,)
+)
+def place(
+    state: IvfState,
+    vecs_raw: jnp.ndarray,  # [M, D] raw f32
+    ks: jnp.ndarray,  # [M] target cluster (K = dropped lane)
+    poss: jnp.ndarray,  # [M] target position
+    rowids: jnp.ndarray,  # [M] int32
+    space: str,
+    dtype: str,
+) -> IvfState:
+    """Scatter a prepared batch into its (cluster, position) slots."""
+    vecs = dist_mod.preprocess(vecs_raw.astype(jnp.float32), space)
+    if dtype == "int8":
+        from .quantize import quantize_rows
+
+        rows, scl = quantize_rows(vecs)
+    else:
+        rows = vecs.astype(_storage_dtype(dtype))
+        scl = jnp.ones((vecs.shape[0],), dtype=jnp.float32)
+    return state._replace(
+        vectors=state.vectors.at[ks, poss].set(rows, mode="drop"),
+        scales=state.scales.at[ks, poss].set(scl, mode="drop"),
+        valid=state.valid.at[ks, poss].set(True, mode="drop"),
+        rowid=state.rowid.at[ks, poss].set(rowids, mode="drop"),
+    )
+
+
+@jax.jit
+def unvalidate(state: IvfState, ks: jnp.ndarray, poss: jnp.ndarray) -> IvfState:
+    return state._replace(
+        valid=state.valid.at[ks, poss].set(False, mode="drop")
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("space", "k", "probes"))
+def search_clustered(
+    state: IvfState,
+    queries: jnp.ndarray,  # [q, D] raw f32 (q ≤ QCHUNK)
+    space: str,
+    k: int,
+    probes: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Probe-and-scan: (dist[q, k] ascending, rowids[q, k]; -inf/SENTINEL
+    padded)."""
+    cdt = state.centroids.dtype
+    q = dist_mod.preprocess(queries.astype(jnp.float32), space).astype(cdt)
+    Q = q.shape[0]
+    K, B, D = state.vectors.shape
+    p = min(probes, K)
+
+    cd = dist_mod.pairwise(q, state.centroids, space)  # [Q, K]
+    if K >= 4096:
+        _, cids = jax.lax.approx_min_k(cd, p, recall_target=0.99)
+    else:
+        _, cids = jax.lax.top_k(-cd, p)
+
+    blocks = jnp.take(state.vectors, cids, axis=0)  # [Q, p, B, D] block DMA
+    scl = jnp.take(state.scales, cids, axis=0)  # [Q, p, B]
+    vld = jnp.take(state.valid, cids, axis=0)
+    rid = jnp.take(state.rowid, cids, axis=0)
+
+    cand = blocks.reshape(Q, p * B, D)
+    if state.vectors.dtype == jnp.int8:
+        cand = (cand.astype(jnp.float32) * scl.reshape(Q, p * B)[..., None]).astype(
+            cdt
+        )
+    else:
+        cand = cand.astype(cdt)
+    d = dist_mod.gathered(q, cand, space)  # [Q, p*B]
+    d = jnp.where(vld.reshape(Q, p * B), d, INF)
+
+    kk = min(k, p * B)
+    top_d, pos = topk_ascending(d, kk)
+    top_r = jnp.take_along_axis(rid.reshape(Q, p * B), pos, axis=-1)
+    top_r = jnp.where(jnp.isinf(top_d), SENTINEL, top_r)
+    if k > kk:
+        top_d = jnp.pad(top_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        top_r = jnp.pad(top_r, ((0, 0), (0, k - kk)), constant_values=2**31 - 1)
+    return top_d, top_r
+
+
+@functools.partial(jax.jit, static_argnames=("space", "k"))
+def search_flat(
+    state: IvfState, queries: jnp.ndarray, space: str, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Staging-phase search: exact scan of the flattened bank."""
+    from . import bruteforce
+
+    cdt = state.centroids.dtype
+    q = dist_mod.preprocess(queries.astype(jnp.float32), space).astype(cdt)
+    K, B, D = state.vectors.shape
+    flat = state.vectors.reshape(K * B, D)
+    scales = (
+        state.scales.reshape(K * B) if state.vectors.dtype == jnp.int8 else None
+    )
+    d, pos = bruteforce.search(
+        q, flat, state.valid.reshape(K * B), space, k, scales=scales
+    )
+    rid = jnp.take(
+        state.rowid.reshape(K * B), jnp.clip(pos, 0, K * B - 1)
+    )
+    rid = jnp.where(pos == SENTINEL, SENTINEL, rid)
+    return d, rid
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def permute_build(
+    old: IvfState,
+    new: IvfState,
+    perm: jnp.ndarray,  # [K', B'] flat source index into old (SENTINEL=empty)
+) -> IvfState:
+    """Recluster materialisation: gather old flat rows into new buckets."""
+    Ko, Bo, D = old.vectors.shape
+    flat_v = old.vectors.reshape(Ko * Bo, D)
+    flat_s = old.scales.reshape(Ko * Bo)
+    flat_r = old.rowid.reshape(Ko * Bo)
+    ok = perm != SENTINEL
+    src = jnp.clip(perm, 0, Ko * Bo - 1)
+    return new._replace(
+        vectors=jnp.take(flat_v, src, axis=0),
+        scales=jnp.take(flat_s, src, axis=0),
+        valid=ok,
+        rowid=jnp.where(ok, jnp.take(flat_r, src, axis=0), SENTINEL),
+    )
+
+
+# --------------------------------------------------------------------------
+
+
+class IvfIndex:
+    """Host wrapper: same numpy-in/numpy-out surface as SlotIndex.
+
+    Ids are monotonic rowids — stable across bucket growth, reclustering
+    and compaction (the engine keymap never needs a remap event from this
+    backend).
+    """
+
+    def __init__(
+        self,
+        params: IndexParams,
+        initial_capacity: int | None = None,
+        probes: int = PROBE_DEFAULT,
+        cluster_min: int = CLUSTER_MIN_ROWS,
+    ) -> None:
+        self.params = params
+        self.space = params.space
+        self.dtype = (
+            params.dtype if params.dtype in ("float32", "int8") else "bfloat16"
+        )
+        self.dims = params.dimensions
+        self.probes = probes
+        self.cluster_min = cluster_min
+        rows0 = max(initial_capacity or 0, cluster_min)
+        k = k_for(rows0)
+        b = bucket_for(rows0, k)
+        self._state = init(self.dims, k, b, self.dtype)
+        self._clustered = False
+        self._clustered_at = 0  # live count at last recluster
+        # host mirrors (placement bookkeeping without device readbacks)
+        self._n_used = np.zeros((k,), dtype=np.int64)
+        self._valid_h = np.zeros((k, b), dtype=bool)
+        self._rowid_h = np.full((k, b), -1, dtype=np.int64)
+        self._loc = np.full((0, 2), -1, dtype=np.int64)  # rowid → (k, pos)
+        self._next_rowid = 0
+        self._n_live = 0
+        self._lock = threading.Lock()
+
+    # -- introspection ------------------------------------------------------
+
+    def count(self) -> int:
+        return self._n_live
+
+    @property
+    def state(self) -> IvfState:
+        return self._state
+
+    @property
+    def n_clusters(self) -> int:
+        return self._state.n_clusters
+
+    # -- helpers ------------------------------------------------------------
+
+    def _grow_loc(self, n: int) -> None:
+        if self._next_rowid + n > len(self._loc):
+            new_len = max(2 * len(self._loc), self._next_rowid + n, 1024)
+            pad = np.full((new_len - len(self._loc), 2), -1, dtype=np.int64)
+            self._loc = np.concatenate([self._loc, pad])
+
+    def _grow_bucket(self) -> None:
+        """Double B (pad axis 1) — realloc event, ids unaffected."""
+        s = self._state
+        K, B, D = s.vectors.shape
+        self._state = IvfState(
+            centroids=s.centroids,
+            vectors=jnp.pad(s.vectors, ((0, 0), (0, B), (0, 0))),
+            scales=jnp.pad(s.scales, ((0, 0), (0, B)), constant_values=1.0),
+            valid=jnp.pad(s.valid, ((0, 0), (0, B))),
+            rowid=jnp.pad(s.rowid, ((0, 0), (0, B)), constant_values=int(SENTINEL)),
+        )
+        self._valid_h = np.pad(self._valid_h, ((0, 0), (0, B)))
+        self._rowid_h = np.pad(
+            self._rowid_h, ((0, 0), (0, B)), constant_values=-1
+        )
+
+    def _plan_placement(
+        self, cids: np.ndarray, n_used: np.ndarray, bucket: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host-side slot allocation with spill cascade.
+
+        cids [M, A] preference-ordered clusters per row.  Returns
+        (ks, poss, unplaced_mask); n_used is updated in place.
+        """
+        m = len(cids)
+        ks = np.full((m,), -1, dtype=np.int64)
+        poss = np.zeros((m,), dtype=np.int64)
+        pending = np.arange(m)
+        for a in range(cids.shape[1]):
+            if len(pending) == 0:
+                break
+            want = cids[pending, a]
+            order = np.argsort(want, kind="stable")
+            w_sorted = want[order]
+            # rank within each run of equal clusters
+            starts = np.r_[0, np.flatnonzero(np.diff(w_sorted)) + 1]
+            rank = np.arange(len(w_sorted)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(w_sorted)])
+            )
+            pos = n_used[w_sorted] + rank
+            fits = pos < bucket
+            rows = pending[order[fits]]
+            ks[rows] = w_sorted[fits]
+            poss[rows] = pos[fits]
+            np.add.at(n_used, w_sorted[fits], 1)
+            pending = pending[order[~fits]]
+        return ks, poss, ks < 0
+
+    # -- mutation -----------------------------------------------------------
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        n, d = vectors.shape
+        if d != self.dims:
+            raise ValueError(f"dimension mismatch: index {self.dims}, got {d}")
+        with self._lock:
+            self._grow_loc(n)
+            rowids = np.arange(
+                self._next_rowid, self._next_rowid + n, dtype=np.int64
+            )
+            self._next_rowid += n
+            chunk = 4096
+            for off in range(0, n, chunk):
+                blk = vectors[off : off + chunk]
+                rid = rowids[off : off + chunk]
+                if self._clustered:
+                    self._add_clustered(blk, rid)
+                else:
+                    self._add_staging(blk, rid)
+            self._n_live += n
+            self._maybe_recluster()
+        return rowids
+
+    def _scatter(self, blk, ks, poss, rid) -> None:
+        self._state = place(
+            self._state,
+            jnp.asarray(blk),
+            jnp.asarray(ks, dtype=jnp.int32),
+            jnp.asarray(poss, dtype=jnp.int32),
+            jnp.asarray(rid, dtype=jnp.int32),
+            self.space,
+            self.dtype,
+        )
+        self._valid_h[ks, poss] = True
+        self._rowid_h[ks, poss] = rid
+        self._loc[rid, 0] = ks
+        self._loc[rid, 1] = poss
+
+    def _add_staging(self, blk: np.ndarray, rid: np.ndarray) -> None:
+        """Sequential fill before the first clustering."""
+        m = len(blk)
+        K, B = self._state.n_clusters, self._state.bucket
+        total = int(self._n_used.sum())
+        while total + m > K * B:
+            self._grow_bucket()
+            B = self._state.bucket
+        flat = total + np.arange(m)
+        ks, poss = flat // B, flat % B
+        np.add.at(self._n_used, ks, 1)
+        self._scatter(blk, ks, poss, rid)
+
+    def _add_clustered(self, blk: np.ndarray, rid: np.ndarray) -> None:
+        prep = dist_mod.preprocess(jnp.asarray(blk), self.space).astype(
+            self._state.centroids.dtype
+        )
+        cids = np.asarray(
+            assign_top(self._state.centroids, prep, self.space, SPILL)
+        )
+        while True:
+            used = self._n_used.copy()
+            ks, poss, unplaced = self._plan_placement(
+                cids, used, self._state.bucket
+            )
+            if not unplaced.any():
+                self._n_used = used
+                break
+            self._grow_bucket()
+        self._scatter(blk, ks, poss, rid)
+
+    def remove(self, rowids: np.ndarray) -> None:
+        rowids = np.unique(np.asarray(rowids, dtype=np.int64).reshape(-1))
+        rowids = rowids[(rowids >= 0) & (rowids < self._next_rowid)]
+        if rowids.size == 0:
+            return
+        with self._lock:
+            ks = self._loc[rowids, 0]
+            live = ks >= 0
+            rowids = rowids[live]
+            if rowids.size == 0:
+                return
+            ks, poss = self._loc[rowids, 0], self._loc[rowids, 1]
+            self._state = unvalidate(
+                self._state,
+                jnp.asarray(ks, dtype=jnp.int32),
+                jnp.asarray(poss, dtype=jnp.int32),
+            )
+            self._valid_h[ks, poss] = False
+            self._loc[rowids] = -1
+            self._n_live -= len(rowids)
+
+    # -- clustering ---------------------------------------------------------
+
+    def _maybe_recluster(self) -> None:
+        if self._n_live < self.cluster_min:
+            return
+        if self._clustered and self._n_live < 2 * self._clustered_at:
+            return
+        self._recluster_locked()
+
+    def compact(self) -> dict:
+        """Recluster (drops tombstoned slots).  Ids are stable — the
+        returned remap is empty by design (engine contract: no rebinding
+        needed)."""
+        with self._lock:
+            if self._n_live > 0:
+                self._recluster_locked()
+        return {}
+
+    def _recluster_locked(self) -> None:
+        from .cluster import ASSIGN_CHUNK, LLOYD_ITERS, LLOYD_SAMPLE
+
+        s = self._state
+        K, B, D = s.vectors.shape
+        flat_live = np.flatnonzero(self._valid_h.reshape(-1))
+        n = len(flat_live)
+        if n == 0:
+            return
+        k_new = k_for(n)
+        cdt = s.centroids.dtype
+
+        def gather_flat(idx_np: np.ndarray) -> jnp.ndarray:
+            ids = jnp.asarray(idx_np, dtype=jnp.int32)
+            rows = jnp.take(s.vectors.reshape(K * B, D), ids, axis=0)
+            if self.dtype == "int8":
+                scl = jnp.take(s.scales.reshape(K * B), ids)
+                rows = rows.astype(jnp.float32) * scl[:, None]
+            return rows.astype(cdt)
+
+        # --- k-means: strided live sample init + Lloyd iterations
+        stride = max(n // k_new, 1)
+        centroids = gather_flat(flat_live[:: stride][:k_new])
+        if centroids.shape[0] < k_new:  # pad degenerate case
+            reps = -(-k_new // centroids.shape[0])
+            centroids = jnp.tile(centroids, (reps, 1))[:k_new]
+        sample_n = min(n, LLOYD_SAMPLE)
+        s_stride = max(n // sample_n, 1)
+        sample_idx = flat_live[::s_stride][:sample_n]
+        for _ in range(LLOYD_ITERS):
+            sums = jnp.zeros((k_new, D), dtype=jnp.float32)
+            cnts = jnp.zeros((k_new,), dtype=jnp.float32)
+            for off in range(0, len(sample_idx), ASSIGN_CHUNK):
+                rows = gather_flat(sample_idx[off : off + ASSIGN_CHUNK])
+                cid_j = assign_top(centroids, rows, self.space, 1)[:, 0]
+                sums = sums.at[cid_j].add(rows.astype(jnp.float32))
+                cnts = cnts.at[cid_j].add(1.0)
+            mean = sums / jnp.maximum(cnts, 1.0)[:, None]
+            if self.space == "cosine":
+                mean = dist_mod.normalize(mean)
+            centroids = jnp.where(
+                (cnts > 0)[:, None], mean.astype(cdt), centroids
+            )
+
+        # --- assign every live row (top-SPILL for the placement cascade)
+        all_cids = np.empty((n, SPILL), dtype=np.int64)
+        for off in range(0, n, ASSIGN_CHUNK):
+            rows = gather_flat(flat_live[off : off + ASSIGN_CHUNK])
+            all_cids[off : off + len(rows)] = np.asarray(
+                assign_top(centroids, rows, self.space, SPILL)
+            )
+
+        # --- host placement into fresh buckets, then device permute-build
+        b_new = bucket_for(n, k_new)
+        while True:
+            used = np.zeros((k_new,), dtype=np.int64)
+            ks, poss, unplaced = self._plan_placement(all_cids, used, b_new)
+            if not unplaced.any():
+                break
+            b_new = int(b_new * 1.5 // 16 + 1) * 16
+        perm = np.full((k_new, b_new), int(SENTINEL), dtype=np.int64)
+        perm[ks, poss] = flat_live
+        new = init(D, k_new, b_new, self.dtype)._replace(centroids=centroids)
+        old_rowid_h = self._rowid_h
+        self._state = permute_build(s, new, jnp.asarray(perm, dtype=jnp.int32))
+
+        # host mirrors follow the same permutation
+        rowid_flat = old_rowid_h.reshape(-1)
+        self._rowid_h = np.full((k_new, b_new), -1, dtype=np.int64)
+        self._rowid_h[ks, poss] = rowid_flat[flat_live]
+        self._valid_h = np.zeros((k_new, b_new), dtype=bool)
+        self._valid_h[ks, poss] = True
+        self._n_used = used
+        placed_rowids = rowid_flat[flat_live]
+        self._loc[placed_rowids, 0] = ks
+        self._loc[placed_rowids, 1] = poss
+        self._clustered = True
+        self._clustered_at = self._n_live
+
+    # -- query ----------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, k: int, probes: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(dist[n, k] ascending, rowids[n, k]); absent results (-inf, -1)."""
+        probes = probes or self.probes
+        queries = np.asarray(queries, dtype=np.float32)
+        single = queries.ndim == 1
+        if single:
+            queries = queries[None, :]
+        n, d = queries.shape
+        if d != self.dims:
+            raise ValueError(f"dimension mismatch: index {self.dims}, got {d}")
+        outs_d, outs_i = [], []
+        with self._lock:
+            state = self._state
+            clustered = self._clustered
+            for off in range(0, n, QCHUNK):
+                blk = queries[off : off + QCHUNK]
+                m = len(blk)
+                # pad to a small bucket set so the jit cache stays small
+                b = next(s for s in (8, 32, 128, QCHUNK) if m <= s)
+                if b != m:
+                    blk = np.pad(blk, ((0, b - m), (0, 0)))
+                if clustered:
+                    dd, ii = search_clustered(
+                        state, jnp.asarray(blk), self.space, k, probes
+                    )
+                else:
+                    dd, ii = search_flat(state, jnp.asarray(blk), self.space, k)
+                outs_d.append(np.asarray(dd[:m]))
+                outs_i.append(np.asarray(ii[:m]).astype(np.int64))
+        dist = np.concatenate(outs_d)
+        ids = np.concatenate(outs_i)
+        ids[~np.isfinite(dist)] = -1
+        if single:
+            return dist[0], ids[0]
+        return dist, ids
+
+    def exact_search(
+        self, queries: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Brute-force oracle over the same bank (recall measurement)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        single = queries.ndim == 1
+        if single:
+            queries = queries[None, :]
+        with self._lock:
+            d, i = search_flat(self._state, jnp.asarray(queries), self.space, k)
+        d, i = np.asarray(d), np.asarray(i).astype(np.int64)
+        i[~np.isfinite(d)] = -1
+        if single:
+            return d[0], i[0]
+        return d, i

@@ -51,17 +51,24 @@ class AnnIndexBackend:
         max_batch: int = 256,
         window_s: float = 0.002,
         n_devices: int = 1,
+        backend: str = "graph",
     ) -> None:
         self.index_id = index_id
         self.params = params
+        if exact:
+            backend = "exact"
         if n_devices > 1:
             # document-sharded index over the device mesh (SlotIndex and
             # ShardedSlotIndex expose the same add/remove/search/count API)
             from ..shard.sharded_index import ShardedSlotIndex
 
             self.index = ShardedSlotIndex(params, n_devices=n_devices)
+        elif backend == "ivf":
+            from ..core.ivf import IvfIndex
+
+            self.index = IvfIndex(params)
         else:
-            self.index = SlotIndex(params, exact=exact)
+            self.index = SlotIndex(params, exact=backend == "exact")
         self.keymap = KeyMap()
         self._batcher = MicroBatcher(
             self._run_query_batch, max_batch=max_batch, window_s=window_s
@@ -153,12 +160,17 @@ class AnnIndexBackend:
             if not hasattr(self.index, "compact"):
                 raise TypeError("backend does not support compaction")
             remap = await self._loop.run_in_executor(None, self.index.compact)
-            # rebind every key to its post-compaction slot
-            keys = [(self.keymap.key_of(old), new) for old, new in remap.items()]
-            self.keymap = KeyMap()
-            for key, new in keys:
-                if key is not None:
-                    self.keymap.bind(key, new)
+            if remap:
+                # rebind every key to its post-compaction slot (graph
+                # backend moves rows; the IVF backend's ids are stable and
+                # its compact() returns {} — keymap untouched)
+                keys = [
+                    (self.keymap.key_of(old), new) for old, new in remap.items()
+                ]
+                self.keymap = KeyMap()
+                for key, new in keys:
+                    if key is not None:
+                        self.keymap.bind(key, new)
             msg.reply.set_result(self.index.count())
         elif isinstance(msg, (Add, Search)):
             raise TypeError("ANN index does not serve the text protocol")
@@ -191,12 +203,14 @@ class AnnIndexFactory:
         max_batch: int = 256,
         window_s: float = 0.002,
         n_devices: int = 1,
+        backend: str = "graph",
     ) -> None:
         self.default_params = default_params
         self.exact = exact
         self.max_batch = max_batch
         self.window_s = window_s
         self.n_devices = n_devices
+        self.backend = backend
 
     def create_index(
         self, index_id: IndexId, metadata: Optional[IndexMetadata] = None
@@ -215,5 +229,6 @@ class AnnIndexFactory:
             max_batch=self.max_batch,
             window_s=self.window_s,
             n_devices=self.n_devices,
+            backend=self.backend,
         )
         return spawn_index_actor(backend, name=str(index_id))
