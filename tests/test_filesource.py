@@ -67,12 +67,14 @@ async def test_fvecs_source(rng):
         metas = await src.get_indexes()
         assert metas[0].params.dimensions == 4
         stream = await src.get_db_index(metas[0])
-        got = []
+        got = {}
         async with asyncio.timeout(10):
             while len(got) < 10:
                 ev = await stream.get()
-                got.append(ev)
-        assert got[3].primary_key == (3,)
-        np.testing.assert_array_equal(got[3].embedding, rows[3])
+                got[ev.primary_key] = ev
+        # parallel range slices deliver out of order (db_index.rs:217-237
+        # shape); coverage and per-row content are the contract
+        assert set(got) == {(i,) for i in range(10)}
+        np.testing.assert_array_equal(got[(3,)].embedding, rows[3])
     finally:
         os.unlink(path)

@@ -13,6 +13,7 @@ import pytest
 from vector_store_tpu.engine import AnnIndexFactory, new_engine
 from vector_store_tpu.engine.actor import (
     AddOrReplace,
+    AddOrReplaceBatch,
     IndexHandle,
     Remove,
     spawn_index_actor,
@@ -24,14 +25,23 @@ from vector_store_tpu.types import DbEmbedding, IndexId, Limit, Timestamp
 
 @pytest.mark.asyncio
 async def test_monitor_items_lww_flow():
-    """Hand-fed events produce the exact ordered message sequence
-    (monitor_items.rs:82-207): out-of-order timestamps dropped,
-    None → Remove, clean shutdown on stream close."""
+    """Hand-fed events: out-of-order timestamps dropped, None → Remove,
+    clean shutdown on stream close (monitor_items.rs:82-207).
+
+    The bridge coalesces queued events into batched upserts (a TPU
+    deviation from the reference's one-message-per-event), so the assert
+    replays the applied operations and checks per-key FINAL state plus
+    that the stale write never reached the index."""
     received = []
 
     async def recorder(msg):
         if isinstance(msg, AddOrReplace):
             received.append(("add", msg.primary_key, msg.embedding.tolist()))
+            if msg.reply is not None:
+                msg.reply.set_result(None)
+        elif isinstance(msg, AddOrReplaceBatch):
+            for key, emb in msg.items:
+                received.append(("add", key, np.asarray(emb).tolist()))
             if msg.reply is not None:
                 msg.reply.set_result(None)
         elif isinstance(msg, Remove):
@@ -52,12 +62,13 @@ async def test_monitor_items_lww_flow():
     await asyncio.wait_for(task, 10)  # terminates on stream close
     handle.close()
     await handle.join()
-    assert received == [
-        ("add", (1,), [1.0]),
-        ("add", (1,), [3.0]),
-        ("remove", (2,)),
-        ("add", (2,), [9.0]),
-    ]
+    # the stale t=5 write must never have been applied
+    assert ("add", (1,), [2.0]) not in received
+    # replay: per-key final state matches the reference's ordered flow
+    state = {}
+    for op, key, *rest in received:
+        state[key] = rest[0] if op == "add" else None
+    assert state == {(1,): [3.0], (2,): [9.0]}
 
 
 @pytest.mark.asyncio

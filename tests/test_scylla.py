@@ -1,0 +1,263 @@
+"""ScyllaSource adapter tests over a wire-level fake session.
+
+The reference tested its DB layer through an in-memory protocol fake
+(tests/integration/db_basic.rs); this fake sits one level LOWER — at the
+CQL/cluster-state surface (the ScyllaSession protocol) — so every logic
+path in ingest/scylla.py (range math, row parsing, CDC mapping, validity
+checks, discovery) runs for real, awaiting only a driver adapter.
+"""
+
+import asyncio
+import uuid
+
+import numpy as np
+import pytest
+
+from vector_store_tpu.ingest import scylla
+from vector_store_tpu.ingest.scylla import (
+    TOKEN_MAX,
+    TOKEN_MIN,
+    ScyllaSource,
+    fullscan_ranges,
+    timeuuid_to_timestamp,
+)
+from vector_store_tpu.types import IndexMetadata, IndexId
+
+
+def _timeuuid(micros_since_unix: int) -> uuid.UUID:
+    """Build a v1 uuid whose timestamp equals the given unix-µs instant."""
+    ticks = (micros_since_unix - scylla.GREGORIAN_TO_UNIX_MICROS) * 10
+    time_low = ticks & 0xFFFFFFFF
+    time_mid = (ticks >> 32) & 0xFFFF
+    time_hi = ((ticks >> 48) & 0x0FFF) | 0x1000  # version 1
+    return uuid.UUID(
+        fields=(time_low, time_mid, time_hi, 0x80, 0x00, 0x123456789ABC)
+    )
+
+
+class FakeSession:
+    """Wire-level ScyllaDB stand-in: CQL strings in, canned rows out."""
+
+    def __init__(self, dims=4):
+        self.dims = dims
+        self.schema_version = "v1"
+        self.agreement_ok = True
+        self.ring = [-(2**62), 0, 2**62]
+        self.shards = 2
+        # base table rows: {pk: (embedding, writetime_us)}
+        self.rows = {}
+        self.cdc_rows = []  # (timeuuid, op, pk, embedding-or-None)
+        self.scanned_ranges = []
+        self.concurrent = 0
+        self.max_concurrent = 0
+        self.tables = {
+            "items": {"partition_key": ["id"], "clustering_key": ["sub"]},
+            "items_scylla_cdc_log": {"partition_key": ["id"], "clustering_key": []},
+        }
+
+    # --- ScyllaSession protocol
+    def ring_tokens(self):
+        return self.ring
+
+    def nr_shards(self):
+        return self.shards
+
+    async def await_schema_agreement(self):
+        return self.schema_version if self.agreement_ok else None
+
+    async def check_schema_agreement(self):
+        return self.schema_version if self.agreement_ok else None
+
+    def keyspace_tables(self, keyspace):
+        return self.tables if keyspace == "ks" else None
+
+    def _token(self, pk):
+        # deterministic fake token in [TOKEN_MIN, TOKEN_MAX]
+        return (hash(pk) % (2 * TOKEN_MAX + 1)) - TOKEN_MAX
+
+    async def execute(self, query, params=()):
+        if query == scylla.ST_LATEST_SCHEMA_VERSION:
+            return [(self.schema_version,)]
+        if query == scylla.ST_GET_INDEXES:
+            return [("ks", "vecidx", "items", {"target": "emb"})]
+        if query == scylla.ST_GET_INDEX_VERSION:
+            assert params == ("ks", "vecidx_index")
+            return [("11111111-2222-3333-4444-555555555555",)]
+        if query == scylla.ST_GET_INDEX_TARGET_TYPE:
+            assert params == ("ks", "items", "emb")
+            return [(f"vector<float, {self.dims}>",)]
+        if query.startswith("SELECT id, sub, emb, writetime(emb)"):
+            begin, end = params
+            self.scanned_ranges.append((begin, end))
+            self.concurrent += 1
+            self.max_concurrent = max(self.max_concurrent, self.concurrent)
+            await asyncio.sleep(0.01)  # let scans overlap
+            self.concurrent -= 1
+            out = []
+            for pk, (emb, wt) in self.rows.items():
+                if begin <= self._token(pk) <= end:
+                    out.append((*pk, emb, wt))
+            return out
+        if "items_scylla_cdc_log" in query:
+            (cursor,) = params
+            return [
+                (tu, op, *pk, emb)
+                for tu, op, pk, emb in self.cdc_rows
+                if tu.int > cursor.int
+            ]
+        raise AssertionError(f"unexpected query: {query}")
+
+
+def test_fullscan_ranges_cover_the_ring_exactly():
+    """Circular windows with the ±MAX sentinels (db_index.rs:268-295):
+    ranges are disjoint and cover every token exactly once."""
+    ring = [-(2**62), 0, 2**61]
+    ranges = fullscan_ranges(ring)
+    assert (TOKEN_MIN, -(2**62) - 1) in ranges
+    assert ranges[-1][1] == TOKEN_MAX or any(e == TOKEN_MAX for _, e in ranges)
+    # coverage + disjointness over probe tokens
+    probes = [TOKEN_MIN, -(2**62), -1, 0, 5, 2**61, TOKEN_MAX]
+    for t in probes:
+        hits = [r for r in ranges if r[0] <= t <= r[1]]
+        assert len(hits) == 1, (t, hits)
+    # empty ring → one full-range scan
+    assert fullscan_ranges([]) == [(TOKEN_MIN, TOKEN_MAX)]
+
+
+def test_timeuuid_epoch_conversion():
+    """Gregorian 1582-10-15 epoch handling (db_index.rs:436-446)."""
+    micros = 1_700_000_000_000_000  # some unix instant
+    tu = _timeuuid(micros)
+    assert timeuuid_to_timestamp(tu).micros == micros
+
+
+@pytest.mark.asyncio
+async def test_control_plane_discovery():
+    sess = FakeSession(dims=6)
+    src = ScyllaSource(sess)
+    assert await src.latest_schema_version() == "v1"
+    metas = await src.get_indexes()
+    assert len(metas) == 1
+    m = metas[0]
+    assert m.index_id.value == "ks.vecidx"
+    assert m.params.dimensions == 6
+    assert m.key_columns == ("id", "sub")
+    assert m.version == "11111111-2222-3333-4444-555555555555"
+
+
+@pytest.mark.asyncio
+async def test_validity_checks():
+    sess = FakeSession()
+    src = ScyllaSource(sess)
+    assert await src.is_valid_index("ks", "items")
+    # missing keyspace
+    assert not await src.is_valid_index("nope", "items")
+    # missing CDC log
+    del sess.tables["items_scylla_cdc_log"]
+    assert not await src.is_valid_index("ks", "items")
+    sess.tables["items_scylla_cdc_log"] = {}
+    # schema disagreement → invalid, discovery skips the index
+    sess.agreement_ok = False
+    assert not await src.is_valid_index("ks", "items")
+    assert await src.get_indexes() == []
+
+
+@pytest.mark.asyncio
+async def test_initial_scan_parallel_and_parsed():
+    """Scan covers all rows across ranges, runs ranges concurrently
+    (shards×3), parses rows, and skips malformed ones."""
+    sess = FakeSession(dims=4)
+    rng = np.random.default_rng(0)
+    for i in range(40):
+        sess.rows[(i, f"s{i}")] = (
+            rng.normal(size=4).astype(np.float32).tolist(),
+            1_000_000 + i,
+        )
+    sess.rows[(99, None)] = ([0.0] * 4, 2_000_000)  # missing pk column
+    sess.rows[(98, "s98")] = (None, 2_000_000)  # missing embedding
+    src = ScyllaSource(sess)
+    meta = IndexMetadata(index_id=IndexId("ks.vecidx"))
+    stream = await src.get_db_index(meta)
+    assert await stream.primary_key_columns() == ("id", "sub")
+
+    got = {}
+    async with asyncio.timeout(30):
+        for _ in range(40):
+            e = await stream.get()
+            assert e is not None
+            got[e.primary_key] = e
+    assert len(got) == 40
+    assert got[(3, "s3")].timestamp.micros == 1_000_003
+    np.testing.assert_allclose(
+        got[(3, "s3")].embedding, sess.rows[(3, "s3")][0], rtol=1e-6
+    )
+    # every ring range was scanned; concurrency really overlapped
+    assert len(sess.scanned_ranges) == len(fullscan_ranges(sess.ring))
+    assert sess.max_concurrent > 1
+    stream.stop()
+
+
+@pytest.mark.asyncio
+async def test_cdc_upsert_and_tombstone():
+    sess = FakeSession(dims=4)
+    src = ScyllaSource(sess)
+    meta = IndexMetadata(index_id=IndexId("ks.vecidx"))
+    stream = await src.get_db_index(meta)
+
+    t1 = 1_700_000_000_000_000
+    sess.cdc_rows.append((_timeuuid(t1), 1, (7, "a"), [1.0, 2.0, 3.0, 4.0]))
+    async with asyncio.timeout(30):
+        e = await stream.get()
+    assert e.primary_key == (7, "a")
+    assert e.timestamp.micros == t1
+    np.testing.assert_allclose(e.embedding, [1.0, 2.0, 3.0, 4.0])
+
+    # deleted column → tombstone event (db_index.rs:400-416)
+    sess.cdc_rows.append((_timeuuid(t1 + 5), 2, (7, "a"), None))
+    async with asyncio.timeout(30):
+        e = await stream.get()
+    assert e.embedding is None and e.timestamp.micros == t1 + 5
+
+    # cursor advanced: no replays
+    stream.stop()
+    async with asyncio.timeout(30):
+        assert await stream.get() is None  # stream closes after stop
+
+
+@pytest.mark.asyncio
+async def test_full_pipeline_on_fake_session():
+    """monitor_indexes + monitor_items drive the engine from a
+    ScyllaSource, end to end (the db_basic.rs usage pattern, one level
+    lower)."""
+    from vector_store_tpu.engine.ann_index import AnnIndexFactory
+    from vector_store_tpu.engine.engine import new_engine
+    from vector_store_tpu.ingest.monitor_indexes import MonitorIndexes
+
+    sess = FakeSession(dims=4)
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(10, 4)).astype(np.float32)
+    for i in range(10):
+        sess.rows[(i, f"s{i}")] = (vecs[i].tolist(), 1_000 + i)
+
+    engine = await new_engine(AnnIndexFactory())
+    src = ScyllaSource(sess)
+    monitor = MonitorIndexes(src, engine, tick_s=0.05)
+    mon = monitor.spawn()
+    try:
+        async with asyncio.timeout(60):
+            while True:
+                handle = await engine.get_index(IndexId("ks.vecidx"))
+                if handle is not None and await handle.count() == 10:
+                    break
+                await asyncio.sleep(0.05)
+        from vector_store_tpu.types import Limit
+
+        keys, _ = await handle.ann(vecs[4], Limit(1))
+        assert keys[0] == (4, "s4")
+    finally:
+        mon.cancel()
+        try:
+            await mon
+        except asyncio.CancelledError:
+            pass
+        await engine.close()

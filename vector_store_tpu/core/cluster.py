@@ -112,26 +112,88 @@ def ring_assign(
 _ring_assign = jax.jit(ring_assign)
 
 
-def _gather_chunk(state: GraphState, base: int, n: int, cfg: GraphConfig):
-    """Rows [base, base+n) in compute dtype + their liveness."""
-    ids = base + jnp.arange(n, dtype=jnp.int32)
-    vecs, _ = gather_vectors(state, ids, cfg)
-    live = jnp.take(state.valid, jnp.clip(ids, 0, state.capacity - 1)) & (
-        ids < state.frontier
+# --- jittable per-chunk steps ---------------------------------------------
+# Every step takes only traced state + a python chunk offset, so the same
+# functions drive the single-device build (host loop below) and the
+# sharded build (the same loop with each step wrapped in shard_map,
+# shard/sharded_index.py) — per-shard frontiers are handled by masking.
+
+
+def seed_centroids(
+    state: GraphState, cfg: GraphConfig, route_k: int
+) -> jnp.ndarray:
+    """Strided sample of allocated rows as initial centroids [K, D]."""
+    f = jnp.maximum(state.frontier, 1)
+    stride = jnp.maximum(f // route_k, 1)
+    ids = ((jnp.arange(route_k, dtype=jnp.int32) * stride) % f).astype(
+        jnp.int32
     )
-    return ids, vecs, live
+    centroids, _ = gather_vectors(state, ids, cfg)
+    return centroids.astype(cfg.compute_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("space", "k"))
-def _lloyd_step(centroids, vecs, live, space, k):
-    """One Lloyd iteration over a sample block: assign + segment-mean."""
-    cid = assign(centroids, vecs, space)
+def lloyd_chunk(
+    state: GraphState,
+    cfg: GraphConfig,
+    centroids: jnp.ndarray,  # [K, D]
+    off: int,
+    sample_n_max: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Partial segment sums/counts for sample rows [off, off+CHUNK)."""
+    k = centroids.shape[0]
+    f = jnp.maximum(state.frontier, 1)
+    sample_n = jnp.minimum(f, sample_n_max)
+    stride = jnp.maximum(f // sample_n, 1)
+    lane = off + jnp.arange(ASSIGN_CHUNK, dtype=jnp.int32)
+    ids = ((lane * stride) % f).astype(jnp.int32)
+    vecs, _ = gather_vectors(state, ids, cfg)
+    vecs = vecs.astype(cfg.compute_dtype)
+    live = (
+        jnp.take(state.valid, jnp.clip(ids, 0, state.capacity - 1))
+        & (lane < sample_n)
+    )
+    cid = assign(centroids, vecs, cfg.space)
     cid = jnp.where(live, cid, k)  # dead lanes drop out of the scatter
     sums = jnp.zeros((k, vecs.shape[1]), dtype=jnp.float32)
     cnts = jnp.zeros((k,), dtype=jnp.float32)
     sums = sums.at[cid].add(vecs.astype(jnp.float32), mode="drop")
     cnts = cnts.at[cid].add(1.0, mode="drop")
     return sums, cnts
+
+
+def lloyd_finish(
+    centroids: jnp.ndarray, sums: jnp.ndarray, cnts: jnp.ndarray, space: str
+) -> jnp.ndarray:
+    mean = sums / jnp.maximum(cnts, 1.0)[:, None]
+    if space == "cosine":
+        mean = dist_mod.normalize(mean)
+    return jnp.where((cnts > 0)[:, None], mean.astype(centroids.dtype), centroids)
+
+
+def fill_chunk(
+    state: GraphState,
+    cfg: GraphConfig,
+    centroids: jnp.ndarray,
+    members: jnp.ndarray,
+    m_cnt: jnp.ndarray,
+    off: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Assign rows [off, off+CHUNK) into member rings."""
+    ids = off + jnp.arange(ASSIGN_CHUNK, dtype=jnp.int32)
+    vecs, _ = gather_vectors(state, ids, cfg)
+    live = jnp.take(state.valid, jnp.clip(ids, 0, state.capacity - 1)) & (
+        ids < state.frontier
+    )
+    cid = assign(centroids, vecs.astype(cfg.compute_dtype), cfg.space)
+    return ring_assign(members, m_cnt, cid, ids, live)
+
+
+_seed_centroids = jax.jit(seed_centroids, static_argnames=("cfg", "route_k"))
+_lloyd_chunk = jax.jit(
+    lloyd_chunk, static_argnames=("cfg", "off", "sample_n_max")
+)
+_lloyd_finish = jax.jit(lloyd_finish, static_argnames=("space",))
+_fill_chunk = jax.jit(fill_chunk, static_argnames=("cfg", "off"))
 
 
 def build_router(
@@ -141,7 +203,7 @@ def build_router(
     members_per: int,
     lloyd_iters: int = LLOYD_ITERS,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Cluster the bank and fill member rings.
+    """Cluster the bank and fill member rings (single-device driver).
 
     Returns (centroids [route_k, D], members [route_k, Bm], m_cnt [route_k])
     ready to slot into a GraphState whose cfg has route_k set.
@@ -149,48 +211,20 @@ def build_router(
     frontier = int(state.frontier)
     assert frontier >= route_k, "not enough rows to seed centroids"
 
-    # --- init: strided sample of the bank as seed centroids.
-    stride = max(frontier // route_k, 1)
-    seed_ids = (np.arange(route_k, dtype=np.int32) * stride) % frontier
-    centroids, _ = gather_vectors(
-        state, jnp.asarray(seed_ids, dtype=jnp.int32), cfg
-    )
-    centroids = centroids.astype(cfg.compute_dtype)
+    centroids = _seed_centroids(state, cfg, route_k)
 
-    # --- Lloyd iterations over a strided sample, chunked matmuls.
     sample_n = min(frontier, LLOYD_SAMPLE)
-    s_stride = max(frontier // sample_n, 1)
     for _ in range(lloyd_iters):
         sums = jnp.zeros((route_k, cfg.dims), dtype=jnp.float32)
         cnts = jnp.zeros((route_k,), dtype=jnp.float32)
         for off in range(0, sample_n, ASSIGN_CHUNK):
-            n = min(ASSIGN_CHUNK, sample_n - off)
-            ids = jnp.asarray(
-                (np.arange(off, off + n, dtype=np.int64) * s_stride) % frontier,
-                dtype=jnp.int32,
-            )
-            vecs, _ = gather_vectors(state, ids, cfg)
-            live = jnp.take(state.valid, ids)
-            s, c = _lloyd_step(
-                centroids, vecs.astype(cfg.compute_dtype), live, cfg.space, route_k
-            )
+            s, c = _lloyd_chunk(state, cfg, centroids, off, LLOYD_SAMPLE)
             sums = sums + s
             cnts = cnts + c
-        mean = sums / jnp.maximum(cnts, 1.0)[:, None]
-        if cfg.space == "cosine":
-            mean = dist_mod.normalize(mean)
-        centroids = jnp.where(
-            (cnts > 0)[:, None], mean.astype(cfg.compute_dtype), centroids
-        )
+        centroids = _lloyd_finish(centroids, sums, cnts, cfg.space)
 
-    # --- fill member rings: assign EVERY allocated row.
     members = jnp.full((route_k, members_per), SENTINEL, dtype=jnp.int32)
     m_cnt = jnp.zeros((route_k,), dtype=jnp.int32)
     for off in range(0, frontier, ASSIGN_CHUNK):
-        n = min(ASSIGN_CHUNK, frontier - off)
-        ids, vecs, live = _gather_chunk(state, off, ASSIGN_CHUNK, cfg)
-        if n < ASSIGN_CHUNK:
-            live = live & (jnp.arange(ASSIGN_CHUNK) < n)
-        cid = assign(centroids, vecs.astype(cfg.compute_dtype), cfg.space)
-        members, m_cnt = _ring_assign(members, m_cnt, cid, ids, live)
+        members, m_cnt = _fill_chunk(state, cfg, centroids, members, m_cnt, off)
     return centroids, members, m_cnt

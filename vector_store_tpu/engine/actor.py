@@ -72,6 +72,19 @@ class AddOrReplace:
 
 
 @dataclass
+class AddOrReplaceBatch:
+    """ANN protocol extension: one message carrying many upserts.
+
+    The reference inserts one vector per message (its usearch add is
+    per-row CPU work); on TPU an insert is a fixed-shape device step, so
+    the ingestion path coalesces (ingest/monitor_items.py) and ships
+    whole batches — one jitted step instead of hundreds."""
+
+    items: list  # [(PrimaryKey, np.ndarray)]
+    reply: Optional[asyncio.Future] = None
+
+
+@dataclass
 class Ann:
     """ANN protocol: nearest-neighbour query (usearch.rs:160-166)."""
 
@@ -152,6 +165,10 @@ class IndexHandle:
         self, primary_key: PrimaryKey, embedding: np.ndarray
     ) -> None:
         await self._send(AddOrReplace(primary_key, embedding))
+
+    async def add_or_replace_batch(self, items: list) -> None:
+        """Coalesced upserts: [(key, embedding)] applied as one device step."""
+        await self._send(AddOrReplaceBatch(list(items)))
 
     async def ann(
         self, embedding: np.ndarray, limit: Limit

@@ -26,6 +26,7 @@ from ..types import IndexId, IndexMetadata, IndexParams, PrimaryKey
 from .actor import (
     Add,
     AddOrReplace,
+    AddOrReplaceBatch,
     Ann,
     Compact,
     Count,
@@ -62,7 +63,9 @@ class AnnIndexBackend:
             # ShardedSlotIndex expose the same add/remove/search/count API)
             from ..shard.sharded_index import ShardedSlotIndex
 
-            self.index = ShardedSlotIndex(params, n_devices=n_devices)
+            self.index = ShardedSlotIndex(
+                params, n_devices=n_devices, exact=backend == "exact"
+            )
         elif backend == "ivf":
             from ..core.ivf import IvfIndex
 
@@ -134,6 +137,14 @@ class AnnIndexBackend:
             await self._loop.run_in_executor(
                 None, self._apply_upserts, [(msg.primary_key, emb)]
             )
+            if msg.reply is not None and not msg.reply.done():
+                msg.reply.set_result(None)
+        elif isinstance(msg, AddOrReplaceBatch):
+            items = [(k, self._check_dims(e)) for k, e in msg.items]
+            if items:
+                await self._loop.run_in_executor(
+                    None, self._apply_upserts, items
+                )
             if msg.reply is not None and not msg.reply.done():
                 msg.reply.set_result(None)
         elif isinstance(msg, Remove):

@@ -75,45 +75,63 @@ class FileSource:
             )
         ]
 
+    # concurrent scan slices (the reference's shards×3, db_index.rs:253-258)
+    SCAN_PARALLELISM = 6
+
     async def get_db_index(self, metadata: IndexMetadata) -> EmbeddingStream:
         stream = EmbeddingStream(("row",))
+        r = self.SCAN_PARALLELISM
+
+        async def scan_fvecs(rows: np.ndarray, part: int) -> None:
+            # row-range slice per task: r concurrent producers feed the
+            # one bounded stream (token-range scan shape, db_index.rs:217-237)
+            for i in range(part, len(rows), r):
+                if stream.stopped:
+                    break
+                await stream.put(
+                    DbEmbedding((int(i),), rows[i].copy(), Timestamp(i + 1))
+                )
+
+        async def scan_jsonl(lines: list[str], part: int) -> None:
+            for i in range(part, len(lines), r):
+                if stream.stopped:
+                    break
+                ev = json.loads(lines[i])
+                key = ev["key"]
+                key = tuple(key) if isinstance(key, list) else (key,)
+                emb = ev.get("embedding")
+                await stream.put(
+                    DbEmbedding(
+                        key,
+                        None if emb is None else np.asarray(emb, dtype=np.float32),
+                        Timestamp(int(ev.get("timestamp", i + 1))),
+                    )
+                )
 
         async def scan() -> None:
+            loop = asyncio.get_running_loop()
             if self.fmt == "fvecs":
                 from ..utils.native import read_fvecs
 
-                rows = read_fvecs(
-                    self.path, self.max_rows, self.dims_hint or metadata.params.dimensions
+                rows = await loop.run_in_executor(
+                    None,
+                    lambda: read_fvecs(
+                        self.path,
+                        self.max_rows,
+                        self.dims_hint or metadata.params.dimensions,
+                    ),
                 )
-                for i, row in enumerate(rows):
-                    if stream.stopped:
-                        break
-                    await stream.put(
-                        DbEmbedding((int(i),), row.copy(), Timestamp(i + 1))
-                    )
+                await asyncio.gather(*(scan_fvecs(rows, p) for p in range(r)))
             else:
-                n = 0
-                with open(self.path) as fh:
-                    for line in fh:
-                        if stream.stopped or n >= self.max_rows:
-                            break
-                        line = line.strip()
-                        if not line:
-                            continue
-                        ev = json.loads(line)
-                        key = ev["key"]
-                        key = tuple(key) if isinstance(key, list) else (key,)
-                        emb = ev.get("embedding")
-                        await stream.put(
-                            DbEmbedding(
-                                key,
-                                None
-                                if emb is None
-                                else np.asarray(emb, dtype=np.float32),
-                                Timestamp(int(ev.get("timestamp", n + 1))),
-                            )
-                        )
-                        n += 1
+
+                def read_lines() -> list[str]:
+                    with open(self.path) as fh:
+                        return [
+                            ln for ln in (x.strip() for x in fh) if ln
+                        ][: self.max_rows]
+
+                lines = await loop.run_in_executor(None, read_lines)
+                await asyncio.gather(*(scan_jsonl(lines, p) for p in range(r)))
             # file exhausted: no live tail — leave the stream open like a
             # quiet CDC feed (monitor_items keeps serving queries)
 

@@ -60,6 +60,9 @@ class _Index:
 class MemDb:
     """The DbMock role (db_basic.rs:102-125) with live CDC fan-out."""
 
+    # concurrent scan slices (the reference's shards×3, db_index.rs:253-258)
+    SCAN_PARALLELISM = 6
+
     def __init__(self) -> None:
         self._version = itertools.count(1)
         self._schema_version = next(self._version)
@@ -147,11 +150,17 @@ class MemDb:
         stream = EmbeddingStream(tbl.primary_key_columns)
         self._streams.append((ix.table, stream))
 
-        async def initial_scan() -> None:
-            # snapshot of current rows (db_basic.rs:370-389); live events
-            # may interleave — monitor_items' LWW filter resolves races
-            # exactly as it does for the real scan+CDC pair.
-            for key, row in list(tbl.rows.items()):
+        # Parallel initial scan: the snapshot is hash-partitioned into
+        # range slices and scanned by SCAN_PARALLELISM concurrent tasks
+        # feeding the one bounded stream — the token-range scan shape of
+        # the reference (db_index.rs:217-258, shards×3).  Live events may
+        # interleave; monitor_items' LWW filter resolves races exactly as
+        # it does for the real scan+CDC pair.
+        snapshot = list(tbl.rows.items())
+        r = self.SCAN_PARALLELISM
+
+        async def scan_slice(part: int) -> None:
+            for key, row in snapshot[part::r]:
                 if stream.stopped:
                     break
                 await stream.put(
@@ -161,6 +170,9 @@ class MemDb:
                         timestamp=row.timestamp,
                     )
                 )
+
+        async def initial_scan() -> None:
+            await asyncio.gather(*(scan_slice(p) for p in range(r)))
 
         asyncio.get_running_loop().create_task(initial_scan())
         return stream

@@ -34,9 +34,12 @@ class EmbeddingStream:
     `stop()` mirrors `cdc_reader.stop()` (db_index.rs:121-127).
     """
 
-    # Channel capacity 10 — "taken from initial benchmarks"
-    # (reference: db_index.rs:72-75).
-    CAPACITY = 10
+    # Channel depth.  The reference used 10 ("taken from initial
+    # benchmarks", db_index.rs:72-75) — sized for per-row CPU inserts.
+    # Here the consumer (monitor_items) coalesces everything queued into
+    # ONE batched device step, so a deeper channel directly becomes
+    # device batch size; 1024 ≈ one insert block.
+    CAPACITY = 1024
 
     def __init__(self, primary_key_columns: Sequence[str]) -> None:
         self.queue: asyncio.Queue = asyncio.Queue(self.CAPACITY)
@@ -53,6 +56,15 @@ class EmbeddingStream:
     async def get(self) -> Optional[DbEmbedding]:
         """Next event, or None once the stream has ended."""
         item = await self.queue.get()
+        if item is END_OF_STREAM:
+            return None
+        return item
+
+    def get_nowait(self) -> Optional[DbEmbedding]:
+        """Non-blocking drain: an event, None at end-of-stream, or raises
+        asyncio.QueueEmpty — lets the consumer coalesce whatever is
+        already queued into one batch."""
+        item = self.queue.get_nowait()
         if item is END_OF_STREAM:
             return None
         return item

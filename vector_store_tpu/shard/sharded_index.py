@@ -75,34 +75,55 @@ def _relocal(state: GraphState) -> GraphState:
     return GraphState(*(a[None] for a in state))
 
 
+def _gid_merge(local, d, i, S, k):
+    """Encode local slots as global ids and merge per-shard top-k over ICI.
+
+    gid = slot * S + shard: capacity-independent, so ids issued before a
+    capacity-doubling growth stay valid after it."""
+    shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    gid = jnp.where(
+        i == SENTINEL,
+        SENTINEL,
+        jnp.clip(i, 0, local.capacity - 1) * S + shard,
+    )
+    dd = jax.lax.all_gather(d, SHARD_AXIS)  # [S, Q, k]
+    ii = jax.lax.all_gather(gid, SHARD_AXIS)
+    n_sh, Q, K = dd.shape
+    flat_d = jnp.transpose(dd, (1, 0, 2)).reshape(Q, n_sh * K)
+    flat_i = jnp.transpose(ii, (1, 0, 2)).reshape(Q, n_sh * K)
+    md, pos = topk_ascending(flat_d, k)
+    mi = jnp.take_along_axis(flat_i, pos, axis=-1)
+    return md, mi
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "k", "mesh_holder")
+    jax.jit, static_argnames=("cfg", "k", "mesh_holder", "exact")
 )
-def _sharded_search(state, queries, cfg, k, mesh_holder):
+def _sharded_search(state, queries, cfg, k, mesh_holder, exact=False):
     mesh = mesh_holder.mesh
 
     S = mesh.devices.size
 
     def fn(state_blk, queries_rep):
         local = _local(state_blk)
-        d, i = search_mod.search_impl(local, queries_rep, cfg, k)
-        shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
-        # capacity-independent encoding: gid = slot * S + shard (slots are
-        # clipped before the multiply so the sentinel lane cannot overflow)
-        gid = jnp.where(
-            i == SENTINEL,
-            SENTINEL,
-            jnp.clip(i, 0, local.capacity - 1) * S + shard,
-        )
-        # all-gather per-shard top-k over ICI, merge to global top-k
-        dd = jax.lax.all_gather(d, SHARD_AXIS)  # [S, Q, k]
-        ii = jax.lax.all_gather(gid, SHARD_AXIS)
-        n_sh, Q, K = dd.shape
-        flat_d = jnp.transpose(dd, (1, 0, 2)).reshape(Q, n_sh * K)
-        flat_i = jnp.transpose(ii, (1, 0, 2)).reshape(Q, n_sh * K)
-        md, pos = topk_ascending(flat_d, k)
-        mi = jnp.take_along_axis(flat_i, pos, axis=-1)
-        return md, mi
+        if exact:
+            from ..core import bruteforce
+            from ..core import distance as dist_mod
+
+            qp = dist_mod.preprocess(
+                queries_rep.astype(jnp.float32), cfg.space
+            ).astype(cfg.compute_dtype)
+            d, i = bruteforce.search(
+                qp,
+                local.vectors,
+                local.valid,
+                cfg.space,
+                k,
+                scales=local.scales if cfg.quantized else None,
+            )
+        else:
+            d, i = search_mod.search_impl(local, queries_rep, cfg, k)
+        return _gid_merge(local, d, i, S, k)
 
     return _shard_map_fn(
         fn,
@@ -113,17 +134,18 @@ def _sharded_search(state, queries, cfg, k, mesh_holder):
     )(state, queries)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh_holder"), donate_argnums=(0,))
-def _sharded_insert(state, bases, vecs, live, cfg, mesh_holder):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh_holder", "exact"), donate_argnums=(0,)
+)
+def _sharded_insert(state, bases, vecs, live, cfg, mesh_holder, exact=False):
     """bases [S], vecs [S, M, D], live [S, M] — every shard inserts its
     sub-batch simultaneously."""
     mesh = mesh_holder.mesh
+    step = build.upload_impl if exact else build.insert_impl
 
     def fn(state_blk, base_blk, vecs_blk, live_blk):
         local = _local(state_blk)
-        new = build.insert_impl(
-            local, base_blk[0], vecs_blk[0], live_blk[0], cfg
-        )
+        new = step(local, base_blk[0], vecs_blk[0], live_blk[0], cfg)
         return _relocal(new)
 
     return _shard_map_fn(
@@ -163,6 +185,89 @@ def _sharded_delete(state, slots, live, mesh_holder):
     )(state, slots, live)
 
 
+# --- sharded router build — the per-chunk steps of core/cluster.py run
+#     per shard under shard_map; the host driver (ShardedSlotIndex.
+#     _rebuild_router_locked) mirrors the single-device build_router loop.
+
+_STATE_SPEC = lambda: GraphState(  # noqa: E731
+    *([P(SHARD_AXIS)] * len(GraphState._fields))
+)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "route_k", "mesh_holder"))
+def _sharded_seed(state, cfg, route_k, mesh_holder):
+    from ..core import cluster
+
+    def fn(state_blk):
+        return cluster.seed_centroids(_local(state_blk), cfg, route_k)[None]
+
+    return _shard_map_fn(
+        fn,
+        mesh=mesh_holder.mesh,
+        in_specs=(_STATE_SPEC(),),
+        out_specs=P(SHARD_AXIS),
+        check_vma=False,
+    )(state)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "off", "sample_max", "mesh_holder")
+)
+def _sharded_lloyd_chunk(state, centroids, cfg, off, sample_max, mesh_holder):
+    from ..core import cluster
+
+    def fn(state_blk, cent_blk):
+        s, c = cluster.lloyd_chunk(
+            _local(state_blk), cfg, cent_blk[0], off, sample_max
+        )
+        return s[None], c[None]
+
+    return _shard_map_fn(
+        fn,
+        mesh=mesh_holder.mesh,
+        in_specs=(_STATE_SPEC(), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False,
+    )(state, centroids)
+
+
+@functools.partial(jax.jit, static_argnames=("space", "mesh_holder"))
+def _sharded_lloyd_finish(centroids, sums, cnts, space, mesh_holder):
+    from ..core import cluster
+
+    def fn(cent_blk, sums_blk, cnts_blk):
+        return cluster.lloyd_finish(cent_blk[0], sums_blk[0], cnts_blk[0], space)[
+            None
+        ]
+
+    return _shard_map_fn(
+        fn,
+        mesh=mesh_holder.mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=P(SHARD_AXIS),
+        check_vma=False,
+    )(centroids, sums, cnts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "off", "mesh_holder"))
+def _sharded_fill_chunk(state, centroids, members, m_cnt, cfg, off, mesh_holder):
+    from ..core import cluster
+
+    def fn(state_blk, cent_blk, mem_blk, cnt_blk):
+        m, c = cluster.fill_chunk(
+            _local(state_blk), cfg, cent_blk[0], mem_blk[0], cnt_blk[0], off
+        )
+        return m[None], c[None]
+
+    return _shard_map_fn(
+        fn,
+        mesh=mesh_holder.mesh,
+        in_specs=(_STATE_SPEC(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False,
+    )(state, centroids, members, m_cnt)
+
+
 class _MeshHolder:
     """Hashable wrapper so a Mesh can ride as a jit static argument."""
 
@@ -192,6 +297,7 @@ class ShardedSlotIndex:
         mesh: Mesh | None = None,
         n_devices: int | None = None,
         initial_capacity_per_shard: int | None = None,
+        exact: bool = False,
     ) -> None:
         self.params = params
         self.mesh = mesh or make_mesh(n_devices)
@@ -201,9 +307,17 @@ class ShardedSlotIndex:
             min(params.capacity // self.n_shards, 1 << 16), 2 * INSERT_BLOCK
         )
         self.cfg = config_from_params(params, cap)
+        if exact:
+            # scan-only shards: 1-wide adjacency stub (core/index.py does
+            # the same for the single-device exact backend)
+            import dataclasses as _dc
+
+            self.cfg = _dc.replace(self.cfg, degree=1)
+        self._exact = exact
         self._state = _stack_init(self.cfg, self.n_shards, cap, self.mesh)
         self._frontiers = np.zeros((self.n_shards,), dtype=np.int64)
         self._sizes = np.zeros((self.n_shards,), dtype=np.int64)
+        self._route_built_at = 0  # max per-shard frontier at last build
         self._lock = threading.Lock()
 
     # -- introspection ----------------------------------------------------
@@ -295,12 +409,72 @@ class ShardedSlotIndex:
                     jnp.asarray(live),
                     self.cfg,
                     self._holder,
+                    exact=self._exact,
                 )
                 for s, p in enumerate(per):
                     self._frontiers[s] += len(p)
                     self._sizes[s] += len(p)
                 done += take
+                self._maybe_rebuild_router_locked()
         return gids
+
+    # -- hierarchical router ------------------------------------------------
+
+    def _maybe_rebuild_router_locked(self) -> None:
+        """Per-shard router rebuild when the biggest shard doubled
+        (mirrors SlotIndex._maybe_rebuild_router_locked)."""
+        from ..core.index import ROUTE_MIN_ROWS
+
+        f = int(self._frontiers.max())
+        if self._exact or f < ROUTE_MIN_ROWS:
+            return
+        if f < 2 * self._route_built_at:
+            return
+        self._rebuild_router_locked(f)
+
+    def _rebuild_router_locked(self, frontier: int, k: int | None = None) -> None:
+        """Sharded build_router: the same chunked Lloyd + fill driver as
+        core/cluster.py, each step shard_map'd so every shard clusters its
+        own rows locally (no cross-shard traffic)."""
+        import dataclasses as _dc
+
+        from ..core import cluster
+
+        k = k or cluster.route_k_for(frontier)
+        cfg = _dc.replace(self.cfg, route_k=k)
+        centroids = _sharded_seed(self._state, cfg, k, self._holder)
+        sample_n = min(frontier, cluster.LLOYD_SAMPLE)
+        S = self.n_shards
+        sh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        for _ in range(cluster.LLOYD_ITERS):
+            sums = jax.device_put(
+                jnp.zeros((S, k, cfg.dims), dtype=jnp.float32), sh
+            )
+            cnts = jax.device_put(jnp.zeros((S, k), dtype=jnp.float32), sh)
+            for off in range(0, sample_n, cluster.ASSIGN_CHUNK):
+                s_, c_ = _sharded_lloyd_chunk(
+                    self._state, centroids, cfg, off, cluster.LLOYD_SAMPLE,
+                    self._holder,
+                )
+                sums = sums + s_
+                cnts = cnts + c_
+            centroids = _sharded_lloyd_finish(
+                centroids, sums, cnts, cfg.space, self._holder
+            )
+        members = jax.device_put(
+            jnp.full((S, k, cfg.route_members_per), SENTINEL, dtype=jnp.int32),
+            sh,
+        )
+        m_cnt = jax.device_put(jnp.zeros((S, k), dtype=jnp.int32), sh)
+        for off in range(0, frontier, cluster.ASSIGN_CHUNK):
+            members, m_cnt = _sharded_fill_chunk(
+                self._state, centroids, members, m_cnt, cfg, off, self._holder
+            )
+        self.cfg = cfg
+        self._state = self._state._replace(
+            route_centroids=centroids, route_members=members, route_cnt=m_cnt
+        )
+        self._route_built_at = frontier
 
     def remove(self, gids: np.ndarray) -> None:
         # dedup: a slot repeated in one batch would double-decrement the
@@ -346,10 +520,153 @@ class ShardedSlotIndex:
         with self._lock:
             qp = jnp.asarray(queries)
             # match single-device path: preprocess handled inside search_impl
-            dist, ids = _sharded_search(self._state, qp, self.cfg, k, self._holder)
+            dist, ids = _sharded_search(
+                self._state, qp, self.cfg, k, self._holder, exact=self._exact
+            )
             dist = np.asarray(dist[:n])
             ids = np.asarray(ids[:n]).astype(np.int64)
         ids[~np.isfinite(dist)] = -1
         if single:
             return dist[0], ids[0]
         return dist, ids
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self) -> dict[int, int]:
+        """Reclaim tombstoned rows across all shards: rebuild from live
+        rows, returning {old_gid: new_gid} for the owner's keymap (same
+        contract as SlotIndex.compact)."""
+        import dataclasses as _dc
+
+        from ..core.index import routing_sample_for
+
+        with self._lock:
+            state = self._state
+            S = self.n_shards
+            valid = np.asarray(jax.device_get(state.valid))  # [S, C]
+            vec_parts, gid_parts = [], []
+            for s in range(S):
+                slots = np.nonzero(valid[s])[0]
+                if len(slots) == 0:
+                    continue
+                rows = jnp.take(
+                    state.vectors[s], jnp.asarray(slots, dtype=jnp.int32), axis=0
+                ).astype(jnp.float32)
+                if self.cfg.quantized:
+                    scl = jnp.take(
+                        state.scales[s], jnp.asarray(slots, dtype=jnp.int32)
+                    )
+                    rows = rows * scl[:, None]
+                vec_parts.append(np.asarray(rows))
+                gid_parts.append(slots.astype(np.int64) * S + s)
+            vectors = (
+                np.concatenate(vec_parts)
+                if vec_parts
+                else np.zeros((0, self.cfg.dims), dtype=np.float32)
+            )
+            old_gids = (
+                np.concatenate(gid_parts) if gid_parts else np.zeros((0,), np.int64)
+            )
+            cap = max(
+                1 << max(len(vectors) // S, 1).bit_length(), 2 * INSERT_BLOCK
+            )
+            self.cfg = _dc.replace(
+                self.cfg,
+                routing_sample=routing_sample_for(cap),
+                route_k=0,  # router rebuilt from scratch by the re-add
+            )
+            self._route_built_at = 0
+            self._state = _stack_init(self.cfg, S, cap, self.mesh)
+            self._frontiers[:] = 0
+            self._sizes[:] = 0
+        # vectors are stored preprocessed; re-preprocessing is idempotent
+        new_gids = self.add(vectors)
+        return {int(o): int(n) for o, n in zip(old_gids, new_gids)}
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Snapshot the stacked sharded state to one npz (the sharded
+        sibling of core/persist.py; reference has no persistence at all —
+        SURVEY §5 checkpoint/resume)."""
+        import json
+        from dataclasses import asdict
+
+        s = self._state
+        meta = {
+            "format": 1,
+            "sharded": True,
+            "n_shards": self.n_shards,
+            "params": asdict(self.params),
+            "cfg": asdict(self.cfg),
+            "exact": self._exact,
+            "frontiers": self._frontiers.tolist(),
+            "sizes": self._sizes.tolist(),
+            "route_built_at": self._route_built_at,
+        }
+        vectors = (
+            np.asarray(s.vectors)
+            if self.cfg.quantized
+            else np.asarray(s.vectors.astype(jnp.float32))
+        )
+        np.savez_compressed(
+            path,
+            vectors=vectors,
+            scales=np.asarray(s.scales),
+            neighbors=np.asarray(s.neighbors),
+            nbr_dist=np.asarray(s.nbr_dist),
+            valid=np.asarray(s.valid),
+            size=np.asarray(s.size),
+            frontier=np.asarray(s.frontier),
+            route_centroids=np.asarray(s.route_centroids.astype(jnp.float32)),
+            route_members=np.asarray(s.route_members),
+            route_cnt=np.asarray(s.route_cnt),
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
+
+    @classmethod
+    def load(
+        cls, path: str, mesh: Mesh | None = None, n_devices: int | None = None
+    ) -> "ShardedSlotIndex":
+        import json
+
+        from ..types import IndexParams as _IP
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            if not meta.get("sharded"):
+                raise ValueError("not a sharded snapshot (use core.persist.load)")
+            cfg = GraphConfig(**meta["cfg"])
+            idx = cls.__new__(cls)
+            idx.params = _IP(**meta["params"])
+            idx.mesh = mesh or make_mesh(n_devices or meta["n_shards"])
+            if idx.mesh.devices.size != meta["n_shards"]:
+                raise ValueError(
+                    f"snapshot has {meta['n_shards']} shards, mesh has "
+                    f"{idx.mesh.devices.size} devices"
+                )
+            idx._holder = _MeshHolder(idx.mesh)
+            idx.n_shards = meta["n_shards"]
+            idx.cfg = cfg
+            idx._exact = meta.get("exact", False)
+            idx._frontiers = np.asarray(meta["frontiers"], dtype=np.int64)
+            idx._sizes = np.asarray(meta["sizes"], dtype=np.int64)
+            idx._route_built_at = meta.get("route_built_at", 0)
+            idx._lock = threading.Lock()
+            sh = NamedSharding(idx.mesh, P(SHARD_AXIS))
+            put = lambda a: jax.device_put(jnp.asarray(a), sh)  # noqa: E731
+            idx._state = GraphState(
+                vectors=put(jnp.asarray(z["vectors"]).astype(cfg.jdtype)),
+                scales=put(z["scales"]),
+                neighbors=put(z["neighbors"]),
+                nbr_dist=put(z["nbr_dist"]),
+                valid=put(z["valid"]),
+                size=put(z["size"]),
+                frontier=put(z["frontier"]),
+                route_centroids=put(
+                    jnp.asarray(z["route_centroids"]).astype(cfg.compute_dtype)
+                ),
+                route_members=put(z["route_members"]),
+                route_cnt=put(z["route_cnt"]),
+            )
+        return idx
