@@ -158,5 +158,51 @@ async def test_ann_queries_actually_coalesce():
     await actor.join()
 
 
+@pytest.mark.asyncio
+async def test_mutations_coalesce_in_mailbox():
+    """Consecutive queued upserts/removes apply as batched device steps.
+
+    The actor loop drains the mailbox each turn and lets the backend
+    merge runs (actor.py coalesce hook) — N queued single-row mutations
+    must not cost N device dispatches."""
+    from vector_store_tpu.engine.actor import spawn_index_actor
+    from vector_store_tpu.engine.ann_index import AnnIndexBackend
+
+    backend = AnnIndexBackend(
+        IndexId("ks.co"), IndexParams(dimensions=8, space="l2", capacity=2048)
+    )
+    upsert_calls: list[int] = []
+    remove_calls: list[int] = []
+    orig_upserts = backend._apply_upserts
+    orig_remove = backend.index.remove
+    backend._apply_upserts = lambda b: (upsert_calls.append(len(b)), orig_upserts(b))[1]
+    backend.index.remove = lambda s: (remove_calls.append(len(s)), orig_remove(s))[1]
+    actor = spawn_index_actor(backend, name="ks.co")
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(64, 8)).astype(np.float32)
+    for i in range(64):
+        await actor.add_or_replace((i,), vecs[i])
+    await poll_until(lambda: _eq(actor.count(), 64))
+    assert sum(upsert_calls) == 64
+    assert max(upsert_calls) > 1, f"upserts never coalesced: {upsert_calls}"
+
+    for i in range(32):
+        await actor.remove((i,))
+    await poll_until(lambda: _eq(actor.count(), 32))
+    assert sum(remove_calls) == 32
+    assert max(remove_calls) > 1, f"removes never coalesced: {remove_calls}"
+
+    # ordering across a type boundary: remove(k) then re-add(k) must land
+    # in that order even when drained in one mailbox sweep
+    await actor.remove((40,))
+    await actor.add_or_replace((40,), vecs[40])
+    await poll_until(lambda: _eq(actor.count(), 32))
+    keys, _ = await actor.ann(vecs[40], Limit(1))
+    assert keys == [(40,)]
+    actor.close()
+    await actor.join()
+
+
 async def _eq(coro, val):
     return await coro == val

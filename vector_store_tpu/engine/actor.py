@@ -195,6 +195,14 @@ def spawn_index_actor(process, name: str = "index") -> IndexHandle:
     `process` is an async callable handling one message; exceptions are
     routed to the message's reply future when present, logged otherwise
     (the reference logs and drops: opensearch.rs:166-172).
+
+    If `process` exposes a `coalesce(msgs) -> msgs` hook, each loop turn
+    drains everything already queued and lets the backend merge runs of
+    consecutive messages before processing — on TPU a mutation is a
+    fixed-shape device step, so ten queued single-row upserts should cost
+    one step, not ten (the rayon-offload role, usearch.rs:115-118, played
+    by batching instead of threads).  Order across message types is
+    preserved: only *consecutive* same-type runs may merge.
     """
     import logging
 
@@ -202,18 +210,40 @@ def spawn_index_actor(process, name: str = "index") -> IndexHandle:
     queue: asyncio.Queue = asyncio.Queue(MAILBOX_CAPACITY)
 
     async def loop() -> None:
-        while True:
+        closing = False
+        coalesce = getattr(process, "coalesce", None)
+        while not closing:
             msg = await queue.get()
             if msg is _CLOSE:
                 break
-            try:
-                await process(msg)
-            except Exception as exc:  # noqa: BLE001 — actor must not die
-                reply = getattr(msg, "reply", None)
-                if reply is not None and not reply.done():
-                    reply.set_exception(exc)
-                else:
-                    log.exception("actor %s: error processing %s", name, msg)
+            batch = [msg]
+            if coalesce is not None:
+                while True:
+                    try:
+                        nxt = queue.get_nowait()
+                    except asyncio.QueueEmpty:
+                        break
+                    if nxt is _CLOSE:
+                        closing = True
+                        break
+                    batch.append(nxt)
+                batch = coalesce(batch)
+            for m in batch:
+                try:
+                    await process(m)
+                except Exception as exc:  # noqa: BLE001 — actor must not die
+                    replies = getattr(m, "replies", None) or [
+                        getattr(m, "reply", None)
+                    ]
+                    routed = False
+                    for reply in replies:
+                        if reply is not None and not reply.done():
+                            reply.set_exception(exc)
+                            routed = True
+                    if not routed:
+                        log.exception(
+                            "actor %s: error processing %s", name, m
+                        )
         shutdown = getattr(process, "shutdown", None)
         if shutdown is not None:
             await shutdown()
