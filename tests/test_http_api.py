@@ -212,6 +212,35 @@ async def test_openapi_and_health():
 
 
 @pytest.mark.asyncio
+async def test_openapi_spec_matches_registered_routes():
+    """Spec-drift guard: the hand-written OpenAPI document must list
+    exactly the routes build_app registers (the reference derived its
+    spec from utoipa macros, so it could never drift; hand-written specs
+    can, and did — round-2 caught /compact missing)."""
+    from vector_store_tpu.api.openapi import openapi_spec
+    from vector_store_tpu.api.routes import build_app
+    from vector_store_tpu.engine import AnnIndexFactory, new_engine
+
+    engine = await new_engine(AnnIndexFactory())
+    try:
+        app = build_app(engine)
+        registered = {
+            r.resource.canonical
+            for r in app.router.routes()
+            if r.resource is not None
+        }
+        # the docs surface documents the API, not itself
+        registered -= {"/api-docs/openapi.json", "/swagger-ui"}
+        spec_paths = set(openapi_spec()["paths"])
+        assert spec_paths == registered, (
+            f"spec missing: {registered - spec_paths}; "
+            f"spec stale: {spec_paths - registered}"
+        )
+    finally:
+        await engine.close()
+
+
+@pytest.mark.asyncio
 async def test_object_primary_key_over_http():
     """JSON-object primary keys map to (hashable) column tuples; bad keys
     get a 400, never an orphan device row (round-2 regression: a dict key

@@ -252,6 +252,36 @@ def openapi_spec() -> dict:
                     },
                 }
             },
+            "/api/v1/indexes/{keyspace}/{index}/compact": {
+                "post": {
+                    "tags": ["indexes"],
+                    "description": (
+                        "Reclaim tombstoned rows (rebuild away deletions); "
+                        "returns the live count"
+                    ),
+                    "parameters": [
+                        _index_param("keyspace", "Keyspace"),
+                        _index_param("index", "Index name"),
+                    ],
+                    "responses": {
+                        "200": {
+                            "description": "Compacted",
+                            "content": {
+                                "application/json": {
+                                    "schema": {
+                                        "type": "object",
+                                        "properties": {
+                                            "count": {"type": "integer"}
+                                        },
+                                    }
+                                }
+                            },
+                        },
+                        "404": {"description": "Index not found"},
+                        "500": {"description": "Backend cannot compact"},
+                    },
+                }
+            },
             "/healthz": {
                 "get": {
                     "description": "Liveness probe",

@@ -45,10 +45,15 @@ from .topk import INF, SENTINEL, topk_ascending
 CLUSTER_MIN_ROWS = 1 << 16
 # Spill candidates per insert: a row tries its A nearest clusters in order.
 SPILL = 4
-# Query-batch chunk for the block-gather step (bounds the [q, p·B, D]
+# Query-batch chunk for the block-gather step (bounds the [q, g·B, D]
 # transient).
 QCHUNK = 256
 PROBE_DEFAULT = 16
+# Probed clusters scored per scan step: the gather transient is
+# [Q, PROBE_GROUP, B, D] — big enough to keep the MXU fed, small enough
+# that probes=64 at 1M×768 stays ~650MB instead of the 8GB that one
+# monolithic [Q, p, B, D] gather costs (OOM on a 16GB chip).
+PROBE_GROUP = 4
 
 
 class IvfState(NamedTuple):
@@ -161,37 +166,72 @@ def search_clustered(
     probes: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Probe-and-scan: (dist[q, k] ascending, rowids[q, k]; -inf/SENTINEL
-    padded)."""
+    padded).
+
+    Probed clusters are scored PROBE_GROUP at a time under a lax.scan
+    with a running per-query top-k as carry — same total MXU work as one
+    monolithic gather, but the HBM transient is [Q, g, B, D] instead of
+    [Q, p, B, D] (which at probes=64, 1M×768 f32 is 8GB and OOMs)."""
     cdt = state.centroids.dtype
     q = dist_mod.preprocess(queries.astype(jnp.float32), space).astype(cdt)
     Q = q.shape[0]
     K, B, D = state.vectors.shape
     p = min(probes, K)
+    g = min(PROBE_GROUP, p)
+    steps = -(-p // g)
+    p_pad = steps * g
 
     cd = dist_mod.pairwise(q, state.centroids, space)  # [Q, K]
-    if K >= 4096:
-        _, cids = jax.lax.approx_min_k(cd, p, recall_target=0.99)
+    # Cluster selection is exact up to ~16K clusters (a missed best
+    # cluster is a recall loss no amount of extra probes can recover, and
+    # top_k over [Q, K] is cheap at this size); past that the approx unit
+    # with a tight target.  Measured at 1M×768/7808 clusters: bf16 hits
+    # recall 1.000 at probes=8 even with approximate selection, so the
+    # selector is not the recall limiter at this scale.
+    if K >= (1 << 14):
+        _, cids = jax.lax.approx_min_k(cd, p, recall_target=0.999)
     else:
         _, cids = jax.lax.top_k(-cd, p)
-
-    blocks = jnp.take(state.vectors, cids, axis=0)  # [Q, p, B, D] block DMA
-    scl = jnp.take(state.scales, cids, axis=0)  # [Q, p, B]
-    vld = jnp.take(state.valid, cids, axis=0)
-    rid = jnp.take(state.rowid, cids, axis=0)
-
-    cand = blocks.reshape(Q, p * B, D)
-    if state.vectors.dtype == jnp.int8:
-        cand = (cand.astype(jnp.float32) * scl.reshape(Q, p * B)[..., None]).astype(
-            cdt
-        )
-    else:
-        cand = cand.astype(cdt)
-    d = dist_mod.gathered(q, cand, space)  # [Q, p*B]
-    d = jnp.where(vld.reshape(Q, p * B), d, INF)
+    cids = cids.astype(jnp.int32)
+    # pad the probe list to a multiple of g; padded lanes are masked out
+    # (NOT deduped — masking keeps duplicate rowids impossible)
+    lane_ok = jnp.arange(p_pad) < p  # [p_pad]
+    if p_pad > p:
+        cids = jnp.pad(cids, ((0, 0), (0, p_pad - p)))
+    xs = (
+        jnp.transpose(cids.reshape(Q, steps, g), (1, 0, 2)),  # [steps, Q, g]
+        lane_ok.reshape(steps, g)[:, None, :],  # [steps, 1, g]
+    )
 
     kk = min(k, p * B)
-    top_d, pos = topk_ascending(d, kk)
-    top_r = jnp.take_along_axis(rid.reshape(Q, p * B), pos, axis=-1)
+
+    def step(carry, x):
+        bd, bi = carry  # [Q, kk] running ascending dists / rowids
+        cg, ok = x  # [Q, g], [1, g]
+        blocks = jnp.take(state.vectors, cg, axis=0)  # [Q, g, B, D]
+        scl = jnp.take(state.scales, cg, axis=0)  # [Q, g, B]
+        vld = jnp.take(state.valid, cg, axis=0) & ok[:, :, None]
+        rid = jnp.take(state.rowid, cg, axis=0)
+        cand = blocks.reshape(Q, g * B, D)
+        if state.vectors.dtype == jnp.int8:
+            cand = (
+                cand.astype(jnp.float32) * scl.reshape(Q, g * B)[..., None]
+            ).astype(cdt)
+        else:
+            cand = cand.astype(cdt)
+        d = dist_mod.gathered(q, cand, space)  # [Q, g*B]
+        d = jnp.where(vld.reshape(Q, g * B), d, INF)
+        md, pos = topk_ascending(jnp.concatenate([bd, d], axis=-1), kk)
+        mi = jnp.take_along_axis(
+            jnp.concatenate([bi, rid.reshape(Q, g * B)], axis=-1), pos, axis=-1
+        )
+        return (md, mi), None
+
+    init = (
+        jnp.full((Q, kk), INF, dtype=jnp.float32),
+        jnp.full((Q, kk), SENTINEL, dtype=jnp.int32),
+    )
+    (top_d, top_r), _ = jax.lax.scan(step, init, xs)
     top_r = jnp.where(jnp.isinf(top_d), SENTINEL, top_r)
     if k > kk:
         top_d = jnp.pad(top_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
@@ -199,11 +239,14 @@ def search_clustered(
     return top_d, top_r
 
 
-@functools.partial(jax.jit, static_argnames=("space", "k"))
+@functools.partial(jax.jit, static_argnames=("space", "k", "approx"))
 def search_flat(
-    state: IvfState, queries: jnp.ndarray, space: str, k: int
+    state: IvfState, queries: jnp.ndarray, space: str, k: int, approx: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Staging-phase search: exact scan of the flattened bank."""
+    """Staging-phase search: exact scan of the flattened bank.  The
+    oracle path (exact_search) passes approx=False — an oracle built on
+    approximate top-k caps measured recall at the selector's own recall
+    and hides real differences between probe counts."""
     from . import bruteforce
 
     cdt = state.centroids.dtype
@@ -214,13 +257,98 @@ def search_flat(
         state.scales.reshape(K * B) if state.vectors.dtype == jnp.int8 else None
     )
     d, pos = bruteforce.search(
-        q, flat, state.valid.reshape(K * B), space, k, scales=scales
+        q, flat, state.valid.reshape(K * B), space, k, scales=scales,
+        approx=approx,
     )
     rid = jnp.take(
         state.rowid.reshape(K * B), jnp.clip(pos, 0, K * B - 1)
     )
     rid = jnp.where(pos == SENTINEL, SENTINEL, rid)
     return d, rid
+
+
+# --- recluster kernels: each device pass is ONE dispatch (lax.scan over
+#     index chunks), not one eager gather per chunk — the round-1-style
+#     per-chunk reshape+take paid a full-bank copy and a tunnel RTT per
+#     4096 rows, making every recluster minutes instead of seconds.
+
+
+def _chunked(idx: np.ndarray, a: int) -> np.ndarray:
+    """Row-major [C, a] chunking of an index list, -1 padded."""
+    n = len(idx)
+    c = max(-(-n // a), 1)
+    out = np.full((c * a,), -1, dtype=np.int32)
+    out[:n] = idx
+    return out.reshape(c, a)
+
+
+@jax.jit
+def _gather_dequant(vectors, scales, ids):
+    """Flat-bank row gather with int8 dequant → [n, D] f32."""
+    K, B, D = vectors.shape
+    flat = vectors.reshape(K * B, D)
+    rows = jnp.take(flat, ids, axis=0).astype(jnp.float32)
+    if vectors.dtype == jnp.int8:
+        rows = rows * jnp.take(scales.reshape(K * B), ids)[:, None]
+    return rows
+
+
+@functools.partial(jax.jit, static_argnames=("space",))
+def _lloyd_iter(vectors, scales, centroids, chunks, space):
+    """One full Lloyd iteration over chunked sample indices — a single
+    dispatch: scan(gather → assign → scatter-add) then the mean/normalize
+    update."""
+    K, B, D = vectors.shape
+    flat = vectors.reshape(K * B, D)
+    sflat = scales.reshape(K * B)
+    cdt = centroids.dtype
+    k = centroids.shape[0]
+
+    def body(carry, ids):
+        sums, cnts = carry
+        ok = ids >= 0
+        safe = jnp.clip(ids, 0, K * B - 1)
+        rows = jnp.take(flat, safe, axis=0).astype(jnp.float32)
+        if vectors.dtype == jnp.int8:
+            rows = rows * jnp.take(sflat, safe)[:, None]
+        d = dist_mod.pairwise(rows.astype(cdt), centroids, space)
+        cid = jnp.argmin(d, axis=1)
+        w = ok.astype(jnp.float32)
+        sums = sums.at[cid].add(rows * w[:, None])
+        cnts = cnts.at[cid].add(w)
+        return (sums, cnts), None
+
+    (sums, cnts), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((k, D), jnp.float32), jnp.zeros((k,), jnp.float32)),
+        chunks,
+    )
+    mean = sums / jnp.maximum(cnts, 1.0)[:, None]
+    if space == "cosine":
+        mean = dist_mod.normalize(mean)
+    return jnp.where((cnts > 0)[:, None], mean.astype(cdt), centroids)
+
+
+@functools.partial(jax.jit, static_argnames=("space", "a"))
+def _assign_pass(vectors, scales, centroids, chunks, space, a):
+    """Top-`a` cluster assignment for every chunked row — one dispatch.
+    Returns [C, A, a]; padding lanes carry garbage (caller slices)."""
+    K, B, D = vectors.shape
+    flat = vectors.reshape(K * B, D)
+    sflat = scales.reshape(K * B)
+    cdt = centroids.dtype
+
+    def body(_, ids):
+        safe = jnp.clip(ids, 0, K * B - 1)
+        rows = jnp.take(flat, safe, axis=0).astype(jnp.float32)
+        if vectors.dtype == jnp.int8:
+            rows = rows * jnp.take(sflat, safe)[:, None]
+        d = dist_mod.pairwise(rows.astype(cdt), centroids, space)
+        _, cid = jax.lax.top_k(-d, a)
+        return None, cid.astype(jnp.int32)
+
+    _, out = jax.lax.scan(body, None, chunks)
+    return out
 
 
 @functools.partial(jax.jit, donate_argnums=(1,))
@@ -369,7 +497,7 @@ class IvfIndex:
                 self._next_rowid, self._next_rowid + n, dtype=np.int64
             )
             self._next_rowid += n
-            chunk = 4096
+            chunk = 16384  # per-dispatch ingest block (48MB f32 transient)
             for off in range(0, n, chunk):
                 blk = vectors[off : off + chunk]
                 rid = rowids[off : off + chunk]
@@ -478,45 +606,38 @@ class IvfIndex:
         k_new = k_for(n)
         cdt = s.centroids.dtype
 
-        def gather_flat(idx_np: np.ndarray) -> jnp.ndarray:
-            ids = jnp.asarray(idx_np, dtype=jnp.int32)
-            rows = jnp.take(s.vectors.reshape(K * B, D), ids, axis=0)
-            if self.dtype == "int8":
-                scl = jnp.take(s.scales.reshape(K * B), ids)
-                rows = rows.astype(jnp.float32) * scl[:, None]
-            return rows.astype(cdt)
-
-        # --- k-means: strided live sample init + Lloyd iterations
+        # --- k-means: strided live sample init + Lloyd iterations (each
+        # iteration is ONE device dispatch — see _lloyd_iter)
         stride = max(n // k_new, 1)
-        centroids = gather_flat(flat_live[:: stride][:k_new])
+        centroids = _gather_dequant(
+            s.vectors,
+            s.scales,
+            jnp.asarray(flat_live[::stride][:k_new], dtype=jnp.int32),
+        ).astype(cdt)
         if centroids.shape[0] < k_new:  # pad degenerate case
             reps = -(-k_new // centroids.shape[0])
             centroids = jnp.tile(centroids, (reps, 1))[:k_new]
         sample_n = min(n, LLOYD_SAMPLE)
         s_stride = max(n // sample_n, 1)
-        sample_idx = flat_live[::s_stride][:sample_n]
+        sample_chunks = jnp.asarray(
+            _chunked(flat_live[::s_stride][:sample_n], ASSIGN_CHUNK)
+        )
         for _ in range(LLOYD_ITERS):
-            sums = jnp.zeros((k_new, D), dtype=jnp.float32)
-            cnts = jnp.zeros((k_new,), dtype=jnp.float32)
-            for off in range(0, len(sample_idx), ASSIGN_CHUNK):
-                rows = gather_flat(sample_idx[off : off + ASSIGN_CHUNK])
-                cid_j = assign_top(centroids, rows, self.space, 1)[:, 0]
-                sums = sums.at[cid_j].add(rows.astype(jnp.float32))
-                cnts = cnts.at[cid_j].add(1.0)
-            mean = sums / jnp.maximum(cnts, 1.0)[:, None]
-            if self.space == "cosine":
-                mean = dist_mod.normalize(mean)
-            centroids = jnp.where(
-                (cnts > 0)[:, None], mean.astype(cdt), centroids
+            centroids = _lloyd_iter(
+                s.vectors, s.scales, centroids, sample_chunks, self.space
             )
 
         # --- assign every live row (top-SPILL for the placement cascade)
-        all_cids = np.empty((n, SPILL), dtype=np.int64)
-        for off in range(0, n, ASSIGN_CHUNK):
-            rows = gather_flat(flat_live[off : off + ASSIGN_CHUNK])
-            all_cids[off : off + len(rows)] = np.asarray(
-                assign_top(centroids, rows, self.space, SPILL)
+        all_cids = np.asarray(
+            _assign_pass(
+                s.vectors,
+                s.scales,
+                centroids,
+                jnp.asarray(_chunked(flat_live, ASSIGN_CHUNK)),
+                self.space,
+                SPILL,
             )
+        ).reshape(-1, SPILL)[:n]
 
         # --- host placement into fresh buckets, then device permute-build
         b_new = bucket_for(n, k_new)
@@ -594,7 +715,9 @@ class IvfIndex:
         if single:
             queries = queries[None, :]
         with self._lock:
-            d, i = search_flat(self._state, jnp.asarray(queries), self.space, k)
+            d, i = search_flat(
+                self._state, jnp.asarray(queries), self.space, k, approx=False
+            )
         d, i = np.asarray(d), np.asarray(i).astype(np.int64)
         i[~np.isfinite(d)] = -1
         if single:
