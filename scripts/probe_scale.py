@@ -19,10 +19,78 @@ import numpy as np
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 DTYPE = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
 FLAT = "--flat" in sys.argv
+IVF = "--ivf" in sys.argv
 D, Q, K = 768, 2048, 10
 SEED = 42
 
 from bench import EF_LADDER, make_dataset, recall_of  # noqa: E402
+
+
+def main_ivf():
+    """IVF bucketed backend at scale: build, probe sweep, churn."""
+    import jax
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf import IvfIndex, search_clustered
+    from vector_store_tpu.types import IndexParams
+
+    x, queries = make_dataset(N, D, Q)
+    idx = IvfIndex(
+        IndexParams(dimensions=D, space="cosine", dtype=DTYPE),
+        initial_capacity=N,
+    )
+    t0 = time.time()
+    idx.add(x)
+    build_s = time.time() - t0
+    print(
+        f"# ivf build: {N / build_s:.0f} vec/s ({build_s:.0f}s) "
+        f"clusters={idx.n_clusters} bucket={idx.state.bucket}",
+        flush=True,
+    )
+    _, exact = idx.exact_search(queries, K)
+
+    @jax.jit
+    def _combine(*xs):
+        return sum(v[0, 0].astype(jnp.float32) for v in xs)
+
+    qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(8)]
+
+    def timed(fn):
+        out = fn(0)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            outs = [fn(r) for r in range(8)]
+            float(np.asarray(_combine(*[o[0] for o in outs])))
+            best = min(best, (time.time() - t0) / 8)
+        return Q / best
+
+    fused_ok = idx._fused_ok()
+    for probes in (4, 8, 16, 32):
+        d_, i_ = idx.search(queries, K, probes=probes)
+        rec = recall_of(i_, exact)
+        xla_qps = timed(
+            lambda r: search_clustered(idx.state, qdev[r], "cosine", K, probes)
+        )
+        line = f"# ivf probes={probes}: recall@10={rec:.3f} qps={xla_qps:.0f}"
+        if fused_ok:
+            from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+
+            half = Q // 2  # SMEM caps one fused dispatch at ~1024 queries
+
+            def fused_run(r):
+                a = search_clustered_fused(
+                    idx.state, qdev[r][:half], "cosine", K, probes
+                )
+                b = search_clustered_fused(
+                    idx.state, qdev[r][half:], "cosine", K, probes
+                )
+                return a[0], b[0]
+
+            fused_qps = timed(fused_run)
+            line += f" fused_qps={fused_qps:.0f}"
+        print(line, flush=True)
 
 
 def main():
@@ -113,4 +181,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_ivf() if IVF else main()

@@ -166,3 +166,35 @@ async def test_ivf_kind_over_http():
     finally:
         await c.close()
         await engine.close()
+
+
+def test_churn_reuses_tombstoned_slots():
+    """Delete/reinsert churn must NOT grow buckets: freed positions are
+    reused by later inserts (round-2: leaked slots forced bucket-doubling
+    bank reallocations at flat live count)."""
+    d = 16
+    x = _clustered(6_000, d, seed=11)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine"), cluster_min=4_000
+    )
+    ids = idx.add(x)
+    assert idx._clustered
+    bucket0 = idx.state.bucket
+    rng = np.random.default_rng(3)
+    live = list(ids)
+    for round_ in range(6):
+        kill_idx = rng.choice(len(live), 900, replace=False)
+        kill = np.asarray([live[i] for i in kill_idx])
+        idx.remove(kill)
+        keep = set(live) - set(kill.tolist())
+        fresh = _clustered(900, d, seed=100 + round_)
+        new_ids = idx.add(fresh)
+        live = list(keep) + list(new_ids)
+        assert idx.count() == len(live)
+    # reclusters may legitimately resize; churn alone must not
+    assert idx.state.bucket == bucket0, (
+        f"bucket grew {bucket0} -> {idx.state.bucket} under flat churn"
+    )
+    # spot-check correctness after heavy reuse: fresh rows are findable
+    _, got = idx.search(fresh[:32], 1)
+    assert (got[:, 0] == new_ids[:32]).all()

@@ -1,0 +1,124 @@
+"""Fused pallas probe-scan ≡ the XLA lax.scan path (interpret mode).
+
+The fused kernel (core/ivf_pallas.py) must return exactly the ids the
+XLA path returns — it is the same algorithm with the HBM gather
+materialization removed.  These run the mosaic interpreter on the CPU
+mesh; the real-chip path is exercised by bench.py / scripts/probe_scale.
+"""
+
+import numpy as np
+import pytest
+
+from vector_store_tpu.core.ivf import IvfIndex
+from vector_store_tpu.types import IndexParams
+
+
+def _clustered(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(64, d)).astype(np.float32)
+    return centers[rng.integers(0, 64, n)] + 0.3 * rng.normal(
+        size=(n, d)
+    ).astype(np.float32)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+@pytest.mark.parametrize("space", ["cosine", "l2"])
+def test_fused_matches_xla(space, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core import distance as dist_mod
+    from vector_store_tpu.core.ivf import search_clustered
+    from vector_store_tpu.core.ivf_pallas import search_fused
+    from vector_store_tpu.core.topk import SENTINEL
+
+    d = 128  # fused path needs 128-aligned dims
+    x = _clustered(6000, d, seed=3)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space=space, dtype=dtype), cluster_min=4000
+    )
+    ids = idx.add(x)
+    idx.remove(ids[10:40])  # tombstones must never surface
+    st = idx.state
+    assert st.bucket % 128 == 0
+
+    rng = np.random.default_rng(4)
+    q = x[:16] + 0.05 * rng.normal(size=(16, d)).astype(np.float32)
+    qp = dist_mod.preprocess(jnp.asarray(q), space).astype(jnp.float32)
+    cd = dist_mod.pairwise(
+        qp.astype(st.centroids.dtype), st.centroids, space
+    )
+    _, cids = jax.lax.top_k(-cd, 8)
+    rid_masked = jnp.where(st.valid, st.rowid, SENTINEL)
+
+    d_f, r_f = search_fused(
+        st.vectors,
+        st.scales,
+        rid_masked,
+        qp,
+        cids.astype(jnp.int32),
+        space,
+        10,
+        8,
+        quantized=dtype == "int8",
+        interpret=True,
+    )
+    d_x, r_x = search_clustered(st, jnp.asarray(q), space, 10, 8)
+    rf, rx = np.asarray(r_f), np.asarray(r_x)
+    # the fused kernel scores in f32 while the XLA path scores in the
+    # bf16 compute dtype — on int8 clustered data the k-boundary gaps sit
+    # BELOW bf16 epsilon, so sets may differ at the tail.  The contract:
+    # same top hit, overwhelmingly the same set, same distances, and
+    # recall against the exact oracle at least as good as the XLA path's.
+    overlap = np.mean([len(set(rf[i]) & set(rx[i])) / 10 for i in range(len(rf))])
+    assert overlap >= 0.9, f"result sets diverged: overlap {overlap}"
+    assert (rf[:, 0] == rx[:, 0]).all()
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d_f)), np.sort(np.asarray(d_x)), rtol=5e-2, atol=2e-2
+    )
+    # float64 host oracle over the dequantized bank (the device oracle
+    # scores in bf16 and would favour the bf16 XLA path on ties)
+    K_, B_, _ = np.asarray(st.vectors).shape
+    bank = np.asarray(st.vectors).astype(np.float64).reshape(K_ * B_, d)
+    bank *= np.asarray(st.scales).astype(np.float64).reshape(-1, 1)
+    rid_flat = np.asarray(st.rowid).reshape(-1)
+    live = np.asarray(st.valid).reshape(-1)
+    qh = np.asarray(q, dtype=np.float64)
+    if space == "cosine":
+        bank = bank / np.maximum(
+            np.linalg.norm(bank, axis=1, keepdims=True), 1e-30
+        )
+        qh = qh / np.linalg.norm(qh, axis=1, keepdims=True)
+        dist_h = 1.0 - qh @ bank.T
+    else:
+        dist_h = ((qh[:, None, :] - bank[None, :, :]) ** 2).sum(-1)
+    dist_h[:, ~live] = np.inf
+    gt = rid_flat[np.argsort(dist_h, axis=1)[:, :10]]
+    rec = lambda r: np.mean(  # noqa: E731
+        [len(set(r[i]) & set(gt[i])) / 10 for i in range(len(r))]
+    )
+    assert rec(rf) >= rec(rx) - 0.02, (
+        f"fused recall {rec(rf)} fell below the XLA path {rec(rx)}"
+    )
+    removed = set(ids[10:40].tolist())
+    assert not (set(rf.ravel().tolist()) & removed)
+
+
+def test_fused_wrapper_matches(monkeypatch):
+    """search_clustered_fused (one-dispatch wrapper) ≡ search_clustered."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf import search_clustered
+    from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+
+    d = 128
+    x = _clustered(6000, d, seed=5)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine"), cluster_min=4000
+    )
+    idx.add(x)
+    st = idx.state
+    q = jnp.asarray(x[:8])
+    d_f, r_f = search_clustered_fused(st, q, "cosine", 5, 8, interpret=True)
+    d_x, r_x = search_clustered(st, q, "cosine", 5, 8)
+    assert (np.asarray(r_f) == np.asarray(r_x)).all()

@@ -192,6 +192,14 @@ class SlotIndex:
             # exact mode never walks a graph — ingest at copy speed
             step = build.upload if self._exact else build.insert
             block = self.insert_block
+            if self.cfg.dtype != "float32":
+                # halve host->device bytes: the bank stores bf16 (or
+                # int8 quantized from it), so shipping f32 wastes the
+                # link — on a tunneled/PCIe-bound ingest path transfer
+                # is the bottleneck, not the scatter
+                import ml_dtypes
+
+                vectors = vectors.astype(ml_dtypes.bfloat16)
             for off in range(0, n, block):
                 blk = vectors[off : off + block]
                 m = blk.shape[0]

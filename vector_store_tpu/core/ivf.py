@@ -83,8 +83,10 @@ def k_for(rows: int) -> int:
 
 
 def bucket_for(rows: int, k: int) -> int:
-    """Bucket width with slack for skew + future inserts."""
-    return max(int(np.ceil(1.5 * rows / k / 16)) * 16, 32)
+    """Bucket width with slack for skew + future inserts.  128-aligned:
+    the fused pallas scan DMAs whole [B, D] blocks and scores them on
+    MXU/VPU lanes — both want the trailing dims in 128 multiples."""
+    return max(int(np.ceil(1.5 * rows / k / 128)) * 128, 128)
 
 
 def _storage_dtype(dtype: str):
@@ -409,6 +411,11 @@ class IvfIndex:
         self._valid_h = np.zeros((k, b), dtype=bool)
         self._rowid_h = np.full((k, b), -1, dtype=np.int64)
         self._loc = np.full((0, 2), -1, dtype=np.int64)  # rowid → (k, pos)
+        # tombstoned (cluster → positions) free for reuse: without this,
+        # delete/reinsert churn leaks slots (the append cursor never
+        # retreats) and forces bucket-doubling reallocations of the whole
+        # bank even though live count is flat
+        self._free: dict[int, list[int]] = {}
         self._next_rowid = 0
         self._n_live = 0
         self._lock = threading.Lock()
@@ -451,12 +458,20 @@ class IvfIndex:
         )
 
     def _plan_placement(
-        self, cids: np.ndarray, n_used: np.ndarray, bucket: int
+        self,
+        cids: np.ndarray,
+        n_used: np.ndarray,
+        bucket: int,
+        free: dict[int, list[int]] | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host-side slot allocation with spill cascade.
 
         cids [M, A] preference-ordered clusters per row.  Returns
-        (ks, poss, unplaced_mask); n_used is updated in place.
+        (ks, poss, unplaced_mask); n_used (and `free`, when given) are
+        updated in place.  Tombstoned positions in `free` are reused
+        before the append cursor advances, so delete/reinsert churn does
+        not leak slots (leaked slots forced bucket-doubling reallocations
+        of the whole bank even at flat live count).
         """
         m = len(cids)
         ks = np.full((m,), -1, dtype=np.int64)
@@ -468,18 +483,34 @@ class IvfIndex:
             want = cids[pending, a]
             order = np.argsort(want, kind="stable")
             w_sorted = want[order]
-            # rank within each run of equal clusters
             starts = np.r_[0, np.flatnonzero(np.diff(w_sorted)) + 1]
-            rank = np.arange(len(w_sorted)) - np.repeat(
-                starts, np.diff(np.r_[starts, len(w_sorted)])
+            ends = np.r_[starts[1:], len(w_sorted)]
+            still = []
+            for s0, s1 in zip(starts, ends):
+                c = int(w_sorted[s0])
+                rows = pending[order[s0:s1]]
+                fl = free.get(c) if free is not None else None
+                take = min(len(fl), len(rows)) if fl else 0
+                if take:
+                    got = rows[:take]
+                    ks[got] = c
+                    poss[got] = [fl.pop() for _ in range(take)]
+                    if not fl:
+                        free.pop(c, None)
+                    rows = rows[take:]
+                if len(rows):
+                    fit = min(len(rows), max(bucket - int(n_used[c]), 0))
+                    if fit:
+                        got = rows[:fit]
+                        ks[got] = c
+                        poss[got] = n_used[c] + np.arange(fit)
+                        n_used[c] += fit
+                        rows = rows[fit:]
+                if len(rows):
+                    still.append(rows)
+            pending = (
+                np.concatenate(still) if still else np.empty((0,), np.int64)
             )
-            pos = n_used[w_sorted] + rank
-            fits = pos < bucket
-            rows = pending[order[fits]]
-            ks[rows] = w_sorted[fits]
-            poss[rows] = pos[fits]
-            np.add.at(n_used, w_sorted[fits], 1)
-            pending = pending[order[~fits]]
         return ks, poss, ks < 0
 
     # -- mutation -----------------------------------------------------------
@@ -509,10 +540,20 @@ class IvfIndex:
             self._maybe_recluster()
         return rowids
 
+    def _to_dev(self, blk: np.ndarray) -> jnp.ndarray:
+        """One host->device ship per ingest block, in the cheapest dtype
+        the bank's precision allows (bf16 for bf16/int8 banks — transfer
+        is the ingest bottleneck, not the scatter)."""
+        if self.dtype != "float32":
+            import ml_dtypes
+
+            blk = np.asarray(blk).astype(ml_dtypes.bfloat16)
+        return jnp.asarray(blk)
+
     def _scatter(self, blk, ks, poss, rid) -> None:
         self._state = place(
             self._state,
-            jnp.asarray(blk),
+            blk if isinstance(blk, jnp.ndarray) else self._to_dev(blk),
             jnp.asarray(ks, dtype=jnp.int32),
             jnp.asarray(poss, dtype=jnp.int32),
             jnp.asarray(rid, dtype=jnp.int32),
@@ -526,6 +567,7 @@ class IvfIndex:
 
     def _add_staging(self, blk: np.ndarray, rid: np.ndarray) -> None:
         """Sequential fill before the first clustering."""
+        blk = self._to_dev(blk)
         m = len(blk)
         K, B = self._state.n_clusters, self._state.bucket
         total = int(self._n_used.sum())
@@ -538,7 +580,8 @@ class IvfIndex:
         self._scatter(blk, ks, poss, rid)
 
     def _add_clustered(self, blk: np.ndarray, rid: np.ndarray) -> None:
-        prep = dist_mod.preprocess(jnp.asarray(blk), self.space).astype(
+        blk = self._to_dev(blk)  # ONE transfer, shared by assign + place
+        prep = dist_mod.preprocess(blk.astype(jnp.float32), self.space).astype(
             self._state.centroids.dtype
         )
         cids = np.asarray(
@@ -546,11 +589,13 @@ class IvfIndex:
         )
         while True:
             used = self._n_used.copy()
+            free_try = {k: v[:] for k, v in self._free.items()}
             ks, poss, unplaced = self._plan_placement(
-                cids, used, self._state.bucket
+                cids, used, self._state.bucket, free=free_try
             )
             if not unplaced.any():
                 self._n_used = used
+                self._free = free_try
                 break
             self._grow_bucket()
         self._scatter(blk, ks, poss, rid)
@@ -567,6 +612,9 @@ class IvfIndex:
             if rowids.size == 0:
                 return
             ks, poss = self._loc[rowids, 0], self._loc[rowids, 1]
+            if self._clustered:
+                for k, p in zip(ks.tolist(), poss.tolist()):
+                    self._free.setdefault(k, []).append(p)
             self._state = unvalidate(
                 self._state,
                 jnp.asarray(ks, dtype=jnp.int32),
@@ -663,10 +711,29 @@ class IvfIndex:
         placed_rowids = rowid_flat[flat_live]
         self._loc[placed_rowids, 0] = ks
         self._loc[placed_rowids, 1] = poss
+        self._free = {}  # every tombstone was just dropped
         self._clustered = True
         self._clustered_at = self._n_live
 
     # -- query ----------------------------------------------------------------
+
+    def _fused_ok(self) -> bool:
+        """Route queries through the fused pallas probe-scan when the
+        layout allows it: TPU backend, 128-aligned bucket and dims (DMA
+        tiling), opt-out via VST_IVF_FUSED=0."""
+        import os
+
+        if os.environ.get("VST_IVF_FUSED") == "0":
+            return False
+        st = self._state
+        if st.bucket % 128 or st.dims % 128:
+            return False
+        try:
+            import jax as _jax
+
+            return _jax.default_backend() not in ("cpu",)
+        except Exception:  # noqa: BLE001
+            return False
 
     def search(
         self, queries: np.ndarray, k: int, probes: int | None = None
@@ -684,6 +751,7 @@ class IvfIndex:
         with self._lock:
             state = self._state
             clustered = self._clustered
+            fused = clustered and self._fused_ok()
             for off in range(0, n, QCHUNK):
                 blk = queries[off : off + QCHUNK]
                 m = len(blk)
@@ -691,7 +759,13 @@ class IvfIndex:
                 b = next(s for s in (8, 32, 128, QCHUNK) if m <= s)
                 if b != m:
                     blk = np.pad(blk, ((0, b - m), (0, 0)))
-                if clustered:
+                if fused:
+                    from .ivf_pallas import search_clustered_fused
+
+                    dd, ii = search_clustered_fused(
+                        state, jnp.asarray(blk), self.space, k, probes
+                    )
+                elif clustered:
                     dd, ii = search_clustered(
                         state, jnp.asarray(blk), self.space, k, probes
                     )

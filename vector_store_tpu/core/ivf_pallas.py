@@ -1,0 +1,231 @@
+"""Fused IVF probe-scan — a Pallas TPU kernel.
+
+The XLA path (ivf.search_clustered) materializes every gathered cluster
+block to HBM before the scoring matmul reads it back: for each query
+batch the bank bytes are touched ~3x (source read + gather write +
+matmul read).  This kernel streams each probed cluster's VECTOR block
+HBM -> VMEM by async DMA (double-buffered so the copy of the next probe
+overlaps the scoring of the current one), scores it on-chip, and keeps
+the candidate pool in VMEM — the bank's vector bytes cross HBM exactly
+once.
+
+The [K, B] side arrays (scales, rowids) are NOT DMA'd in-kernel: a
+single [1, B] row slice of a 2-D tiled memref violates mosaic's sublane
+alignment, and they are 2 lanes of payload against the vectors' D=768 —
+the wrapper pre-gathers them per probe with plain XLA (<1% of the
+bytes) and they ride in as ordinary VMEM blocks.
+
+Layout (one grid step per GROUP of QG=8 queries — pallas wants >=8
+sublanes per block, and the group amortizes program overhead):
+
+  grid            (Q/QG,)
+  scalar-prefetch cids [Q, p] int32    probed cluster per (query, rank)
+  inputs          q     [Q, D] f32     preprocessed queries (block [QG, D])
+                  vectors [K, B, D]    storage dtype, stays in HBM
+                  scl_g [Q/QG, QG, p, B] f32   pre-gathered dequant scales
+                  rid_g [Q/QG, QG, p, B] i32   pre-gathered rowids
+                                               (SENTINEL where dead)
+  outputs         dist [Q, k] f32, rid [Q, k] i32 (blocks [QG, k])
+  scratch         2 x [B, D] vector block, DMA sems, cand pool
+                  [QG, p*B] distances
+
+The probe sequence is FULLY unrolled (QG * p static steps): all scratch
+indices become compile-time constants — no dynamic-index alignment
+proofs — and the DMA for step s+1 is issued before step s's scoring.
+Reference role: this replaces the usearch query hot loop
+(src/index/usearch.rs:274-277) at the 1M-100M tier; same contract as
+ivf.search_clustered.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Python scalars, not jnp constants: a pallas kernel may not capture
+# traced device constants from module scope.
+INF = float("inf")
+SENTINEL = 2**31 - 1
+
+QG = 8  # queries per grid step (sublane-aligned block)
+
+
+def _kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r, *,
+            p: int, k: int, space: str, quantized: bool):
+    B = vec_hbm.shape[1]
+    gi = pl.program_id(0)
+
+    def body(vbuf, cand_d, sems):
+        def dma(slot, l, r):
+            c = cids_ref[gi * QG + l, r]
+            return pltpu.make_async_copy(
+                vec_hbm.at[c], vbuf.at[slot], sems.at[slot]
+            )
+
+        steps = [(l, r) for l in range(QG) for r in range(p)]
+        dma(0, *steps[0]).start()
+
+        for s, (l, r) in enumerate(steps):
+            slot = s % 2
+            if s + 1 < len(steps):
+                dma((s + 1) % 2, *steps[s + 1]).start()
+            dma(slot, l, r).wait()
+
+            x = vbuf[slot].astype(jnp.float32)  # [B, D]
+            qv = q_ref[l, :]  # [D] — static sublane pick
+            dots = jnp.dot(x, qv, preferred_element_type=jnp.float32)
+            sc = scl_ref[0, l, r, :]  # [B] — static indices
+            if quantized:
+                dots = dots * sc
+            if space == "l2":
+                # stored rows are raw; ||x||^2 needs the block too
+                x_sq = jnp.sum(x * x, axis=-1)
+                if quantized:
+                    x_sq = x_sq * sc * sc
+                q_sq = jnp.sum(qv * qv)
+                d = q_sq + x_sq - 2.0 * dots
+            elif space == "dot":
+                d = -dots
+            else:  # cosine: rows normalized, dist = 1 - cos
+                d = 1.0 - dots
+            rid = rid_ref[0, l, r, :]
+            d = jnp.where(rid == SENTINEL, INF, d)
+            cand_d[l, r * B : (r + 1) * B] = d
+
+        # k extract-min passes per query over the pooled candidates —
+        # also unrolled (k is static); outputs assembled as values and
+        # stored once as full blocks
+        pool = cand_d[:, :]  # [QG, p*B]
+        rids = rid_ref[0].reshape(QG, p * B)
+        lane = jax.lax.broadcasted_iota(jnp.int32, pool.shape, 1)
+        outs_d, outs_r = [], []
+        for _ in range(k):
+            best = jnp.min(pool, axis=-1)  # [QG]
+            idx = jnp.argmin(pool, axis=-1)
+            knock = lane == idx[:, None]
+            take = jnp.max(jnp.where(knock, rids, 0), axis=-1)
+            outs_d.append(best)
+            outs_r.append(jnp.where(best < INF, take, SENTINEL))
+            pool = jnp.where(knock, INF, pool)
+        out_d[:, :] = jnp.stack(outs_d, axis=1)
+        out_r[:, :] = jnp.stack(outs_r, axis=1).astype(jnp.int32)
+
+    pl.run_scoped(
+        body,
+        vbuf=pltpu.VMEM((2, B, vec_hbm.shape[2]), vec_hbm.dtype),
+        cand_d=pltpu.VMEM((QG, p * B), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("space", "k", "probes", "quantized", "interpret"),
+)
+def search_fused(
+    vectors: jnp.ndarray,  # [K, B, D] storage dtype
+    scales: jnp.ndarray,  # [K, B] f32
+    rowid_masked: jnp.ndarray,  # [K, B] i32, SENTINEL where dead
+    queries_prep: jnp.ndarray,  # [Q, D] f32 preprocessed, Q % 8 == 0
+    cids: jnp.ndarray,  # [Q, p] i32 probed clusters
+    space: str,
+    k: int,
+    probes: int,
+    quantized: bool,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    Q, D = queries_prep.shape
+    if Q % QG:
+        raise ValueError(f"query batch must be a multiple of {QG}, got {Q}")
+    p = probes
+    B = vectors.shape[1]
+
+    # pre-gather the 2-lane side arrays per probe (XLA gather; <1% of the
+    # vector-block bytes) and group them to match the grid blocks
+    scl_g = jnp.take(scales, cids, axis=0).reshape(Q // QG, QG, p, B)
+    rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // QG, QG, p, B)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Q // QG,),
+        in_specs=[
+            pl.BlockSpec(
+                (QG, D), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+            ),
+            # the vector bank MUST stay in HBM (it is the stream source)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, QG, p, B),
+                lambda g, cids: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, QG, p, B),
+                lambda g, cids: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (QG, k), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (QG, k), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+    )
+    kern = functools.partial(
+        _kernel, p=p, k=k, space=space, quantized=quantized
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, k), jnp.float32),
+            jax.ShapeDtypeStruct((Q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cids, queries_prep.astype(jnp.float32), vectors, scl_g, rid_g)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("space", "k", "probes", "interpret")
+)
+def search_clustered_fused(
+    state,  # IvfState pytree
+    queries: jnp.ndarray,  # [Q, D] raw f32, Q % 8 == 0
+    space: str,
+    k: int,
+    probes: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One-dispatch fused clustered search: preprocess + centroid route +
+    fused probe-scan kernel.  Same contract as ivf.search_clustered."""
+    from . import distance as dist_mod
+
+    cdt = state.centroids.dtype
+    K = state.vectors.shape[0]
+    p = min(probes, K)
+    qf = dist_mod.preprocess(queries.astype(jnp.float32), space)
+    cd = dist_mod.pairwise(qf.astype(cdt), state.centroids, space)
+    if K >= (1 << 14):
+        _, cids = jax.lax.approx_min_k(cd, p, recall_target=0.999)
+    else:
+        _, cids = jax.lax.top_k(-cd, p)
+    rid_masked = jnp.where(state.valid, state.rowid, SENTINEL)
+    return search_fused(
+        state.vectors,
+        state.scales,
+        rid_masked,
+        qf,
+        cids.astype(jnp.int32),
+        space,
+        k,
+        p,
+        quantized=state.vectors.dtype == jnp.int8,
+        interpret=interpret,
+    )

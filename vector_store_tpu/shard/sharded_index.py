@@ -393,7 +393,12 @@ class ShardedSlotIndex:
                 per = [chunk[s::S] for s in range(S)]
                 m = max(len(p) for p in per)
                 self._ensure_capacity(m)
-                vecs = np.zeros((S, INSERT_BLOCK, d), dtype=np.float32)
+                tdt = np.float32
+                if self.cfg.dtype != "float32":
+                    import ml_dtypes
+
+                    tdt = ml_dtypes.bfloat16  # halve per-shard transfer
+                vecs = np.zeros((S, INSERT_BLOCK, d), dtype=tdt)
                 live = np.zeros((S, INSERT_BLOCK), dtype=bool)
                 bases = self._frontiers.astype(np.int32)
                 for s, p in enumerate(per):
