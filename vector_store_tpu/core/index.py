@@ -215,6 +215,20 @@ class SlotIndex:
                     self.cfg,
                 )
                 self._maybe_rebuild_router_locked(base + off + m)
+            # End-of-call staleness bound: the in-loop policy rebuilds at
+            # doubling, so a bulk load can finish with up to half the
+            # bank ring-assigned onto a stale centroid set (rings evict
+            # under 2x design load — measured 1M recall 0.954 vs 0.986
+            # flat).  A 1.25x threshold here caps staleness at 25% and,
+            # being per-CALL, costs streaming ingest at most ~3 extra
+            # rebuilds per doubling.
+            f = base + n
+            if (
+                not self._exact
+                and f >= ROUTE_MIN_ROWS
+                and f >= 1.25 * self._route_built_at
+            ):
+                self._rebuild_router_locked(f)
             return slots
 
     # -- hierarchical router ------------------------------------------------

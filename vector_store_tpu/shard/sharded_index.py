@@ -421,6 +421,18 @@ class ShardedSlotIndex:
                     self._sizes[s] += len(p)
                 done += take
                 self._maybe_rebuild_router_locked()
+            # end-of-call staleness bound, mirroring SlotIndex.add: a
+            # bulk load must not finish with up to half of every shard
+            # merely ring-assigned onto a stale centroid set
+            from ..core.index import ROUTE_MIN_ROWS
+
+            f = int(self._frontiers.max())
+            if (
+                not self._exact
+                and f >= ROUTE_MIN_ROWS
+                and f >= 1.25 * self._route_built_at
+            ):
+                self._rebuild_router_locked(f)
         return gids
 
     # -- hierarchical router ------------------------------------------------
