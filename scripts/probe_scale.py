@@ -35,18 +35,27 @@ def main_ivf():
     from vector_store_tpu.types import IndexParams
 
     x, queries = make_dataset(N, D, Q)
-    idx = IvfIndex(
-        IndexParams(dimensions=D, space="cosine", dtype=DTYPE),
-        initial_capacity=N,
-    )
-    t0 = time.time()
-    idx.add(x)
-    build_s = time.time() - t0
-    print(
-        f"# ivf build: {N / build_s:.0f} vec/s ({build_s:.0f}s) "
-        f"clusters={idx.n_clusters} bucket={idx.state.bucket}",
-        flush=True,
-    )
+    snap = f"/tmp/vst_ivf_{N}_{DTYPE}.npz"
+    if os.path.exists(snap):
+        t0 = time.time()
+        idx = IvfIndex.load(snap)
+        print(f"# ivf restored from {snap} in {time.time() - t0:.0f}s "
+              f"clusters={idx.n_clusters} bucket={idx.state.bucket}", flush=True)
+    else:
+        idx = IvfIndex(
+            IndexParams(dimensions=D, space="cosine", dtype=DTYPE),
+            initial_capacity=N,
+        )
+        t0 = time.time()
+        idx.add(x)
+        build_s = time.time() - t0
+        print(
+            f"# ivf build: {N / build_s:.0f} vec/s ({build_s:.0f}s) "
+            f"clusters={idx.n_clusters} bucket={idx.state.bucket}",
+            flush=True,
+        )
+        idx.save(snap)
+        print(f"# snapshot -> {snap}", flush=True)
     _, exact = idx.exact_search(queries, K)
 
     @jax.jit
@@ -67,28 +76,40 @@ def main_ivf():
         return Q / best
 
     fused_ok = idx._fused_ok()
+    chunk = 256  # serving-path chunk; a 2048-query XLA gather transient
+    # on top of a 14GB bank OOMs at 8M — time what serving actually runs
+
+    def timed_chunked(fn):
+        outs = [fn(0, o) for o in range(0, Q, chunk)]
+        float(np.asarray(_combine(*[o[0] for o in outs])))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            outs = []
+            for r in range(4):
+                outs.extend(fn(r, o) for o in range(0, Q, chunk))
+            float(np.asarray(_combine(*[o[0] for o in outs])))
+            best = min(best, (time.time() - t0) / 4)
+        return Q / best
+
     for probes in (4, 8, 16, 32):
         d_, i_ = idx.search(queries, K, probes=probes)
         rec = recall_of(i_, exact)
-        xla_qps = timed(
-            lambda r: search_clustered(idx.state, qdev[r], "cosine", K, probes)
+        print(f"# ivf probes={probes}: recall@10={rec:.3f}", flush=True)
+        xla_qps = timed_chunked(
+            lambda r, o: search_clustered(
+                idx.state, qdev[r][o : o + chunk], "cosine", K, probes
+            )
         )
-        line = f"# ivf probes={probes}: recall@10={rec:.3f} qps={xla_qps:.0f}"
+        line = f"#   qps={xla_qps:.0f}"
         if fused_ok:
             from vector_store_tpu.core.ivf_pallas import search_clustered_fused
 
-            half = Q // 2  # SMEM caps one fused dispatch at ~1024 queries
-
-            def fused_run(r):
-                a = search_clustered_fused(
-                    idx.state, qdev[r][:half], "cosine", K, probes
+            fused_qps = timed_chunked(
+                lambda r, o: search_clustered_fused(
+                    idx.state, qdev[r][o : o + chunk], "cosine", K, probes
                 )
-                b = search_clustered_fused(
-                    idx.state, qdev[r][half:], "cosine", K, probes
-                )
-                return a[0], b[0]
-
-            fused_qps = timed(fused_run)
+            )
             line += f" fused_qps={fused_qps:.0f}"
         print(line, flush=True)
 

@@ -198,3 +198,62 @@ def test_churn_reuses_tombstoned_slots():
     # spot-check correctness after heavy reuse: fresh rows are findable
     _, got = idx.search(fresh[:32], 1)
     assert (got[:, 0] == new_ids[:32]).all()
+
+
+def test_host_staged_recluster_equivalent(monkeypatch):
+    """When two banks won't fit HBM, the recluster permutes through host
+    RAM — results must be identical to the device permute path."""
+    from vector_store_tpu.core import ivf as ivf_mod
+
+    d = 16
+    x = _clustered(6_000, d, seed=21)
+    q = x[64:96]
+
+    def build(host_staged):
+        if host_staged:
+            monkeypatch.setattr(ivf_mod, "HOST_PERMUTE_BYTES", 0)
+        else:
+            monkeypatch.setattr(ivf_mod, "HOST_PERMUTE_BYTES", 10 << 30)
+        idx = IvfIndex(
+            IndexParams(dimensions=d, space="cosine", dtype="int8"),
+            cluster_min=4_000,
+        )
+        ids = idx.add(x)
+        idx.remove(ids[:100])
+        idx.compact()
+        return idx
+
+    a, b = build(False), build(True)
+    assert a.count() == b.count() == 5_900
+    da, ia = a.search(q, 5)
+    db, ib = b.search(q, 5)
+    assert (ia == ib).all()
+    np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-6)
+
+
+def test_ivf_persist_roundtrip(tmp_path):
+    """save/load preserves search results, ids, free lists and counts."""
+    d = 16
+    x = _clustered(6_000, d, seed=31)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        cluster_min=4_000,
+    )
+    ids = idx.add(x)
+    idx.remove(ids[100:200])
+    path = str(tmp_path / "ivf.npz")
+    idx.save(path)
+    idx2 = IvfIndex.load(path)
+    assert idx2.count() == idx.count() == 5_900
+    q = x[500:532]
+    d1, i1 = idx.search(q, 5)
+    d2, i2 = idx2.search(q, 5)
+    assert (i1 == i2).all()
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-6)
+    # restored index keeps ingesting (free lists intact: removed slots
+    # get reused, so the bucket width must not grow)
+    b0 = idx2.state.bucket
+    more = idx2.add(x[:100])
+    assert idx2.count() == 6_000 and idx2.state.bucket == b0
+    _, got = idx2.search(x[:4], 1)
+    assert set(got[:, 0]).issubset(set(more.tolist()) | set(ids.tolist()))

@@ -54,6 +54,9 @@ PROBE_DEFAULT = 16
 # that probes=64 at 1M×768 stays ~650MB instead of the 8GB that one
 # monolithic [Q, p, B, D] gather costs (OOM on a 16GB chip).
 PROBE_GROUP = 4
+# Recluster stages its permutation through host RAM once two banks would
+# exceed this HBM budget (old + new cannot coexist on a 16GB chip).
+HOST_PERMUTE_BYTES = 10 << 30
 
 
 class IvfState(NamedTuple):
@@ -77,8 +80,13 @@ class IvfState(NamedTuple):
 
 
 def k_for(rows: int) -> int:
-    """Cluster count: ~128 rows per bucket, MXU-aligned, capped at 64K."""
-    k = min(max(rows // 128, 1024), 1 << 16)
+    """Cluster count: ~170 rows per bucket, MXU-aligned, capped at 64K.
+
+    170 ≈ 256/1.5: with buckets 128-rounded, B lands on exactly 256 at
+    slack 1.5.  The old 128-rows target rounded B up to 2.05x the data —
+    at 8M x 768 int8 that is a 12.3GB bank, which (with the recluster's
+    transients) no longer fits a 16GB chip."""
+    k = min(max(rows // 170, 1024), 1 << 16)
     return max((k // 128) * 128, 128)
 
 
@@ -241,32 +249,69 @@ def search_clustered(
     return top_d, top_r
 
 
+# Clusters scanned per chunk of the full-bank scan.  k_for keeps K a
+# multiple of 128, so CH=128 always divides K — no clamped (duplicating)
+# tail slice, and the [Q, CH*B] distance transient stays a few hundred MB.
+FLAT_SCAN_CLUSTERS = 128
+
+
 @functools.partial(jax.jit, static_argnames=("space", "k", "approx"))
 def search_flat(
     state: IvfState, queries: jnp.ndarray, space: str, k: int, approx: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Staging-phase search: exact scan of the flattened bank.  The
-    oracle path (exact_search) passes approx=False — an oracle built on
-    approximate top-k caps measured recall at the selector's own recall
-    and hides real differences between probe counts."""
-    from . import bruteforce
+    """Full-bank exact scan (staging-phase serving + the recall oracle).
 
+    Scans the bucketed bank [K, B, D] in CH-cluster chunks under a
+    lax.scan with a running top-k — a flat `reshape(K*B, D)` inside jit
+    materializes a second full bank (13.9GB at 8M) and OOMs the chip.
+    The oracle path (exact_search) passes approx=False — an oracle built
+    on approximate top-k caps measured recall at the selector's own
+    recall."""
     cdt = state.centroids.dtype
     q = dist_mod.preprocess(queries.astype(jnp.float32), space).astype(cdt)
+    Q = q.shape[0]
     K, B, D = state.vectors.shape
-    flat = state.vectors.reshape(K * B, D)
-    scales = (
-        state.scales.reshape(K * B) if state.vectors.dtype == jnp.int8 else None
+    CH = min(FLAT_SCAN_CLUSTERS, K)
+    steps = -(-K // CH)
+    quantized = state.vectors.dtype == jnp.int8
+
+    def body(carry, k0):
+        bd, bi = carry
+        blk = jax.lax.dynamic_slice(
+            state.vectors, (k0, 0, 0), (CH, B, D)
+        ).reshape(CH * B, D)
+        vld = jax.lax.dynamic_slice(state.valid, (k0, 0), (CH, B)).reshape(-1)
+        rid = jax.lax.dynamic_slice(state.rowid, (k0, 0), (CH, B)).reshape(-1)
+        cand = blk.astype(jnp.float32)
+        if quantized:
+            scl = jax.lax.dynamic_slice(
+                state.scales, (k0, 0), (CH, B)
+            ).reshape(-1)
+            cand = cand * scl[:, None]
+        d = dist_mod.pairwise(q, cand.astype(cdt), space)  # [Q, CH*B]
+        d = jnp.where(vld[None, :], d, INF)
+        kk = min(k, CH * B)
+        if approx and CH * B >= (1 << 14):
+            from .topk import topk_ascending_approx
+
+            cd, pos = topk_ascending_approx(d, kk)
+        else:
+            cd, pos = topk_ascending(d, kk)
+        cr = jnp.take(rid, jnp.clip(pos, 0, CH * B - 1))
+        md, mpos = topk_ascending(jnp.concatenate([bd, cd], axis=-1), k)
+        mi = jnp.take_along_axis(
+            jnp.concatenate([bi, cr], axis=-1), mpos, axis=-1
+        )
+        return (md, mi), None
+
+    init = (
+        jnp.full((Q, k), INF, dtype=jnp.float32),
+        jnp.full((Q, k), SENTINEL, dtype=jnp.int32),
     )
-    d, pos = bruteforce.search(
-        q, flat, state.valid.reshape(K * B), space, k, scales=scales,
-        approx=approx,
-    )
-    rid = jnp.take(
-        state.rowid.reshape(K * B), jnp.clip(pos, 0, K * B - 1)
-    )
-    rid = jnp.where(pos == SENTINEL, SENTINEL, rid)
-    return d, rid
+    offs = jnp.arange(steps, dtype=jnp.int32) * CH
+    (top_d, top_r), _ = jax.lax.scan(body, init, offs)
+    top_r = jnp.where(jnp.isinf(top_d), SENTINEL, top_r)
+    return top_d, top_r
 
 
 # --- recluster kernels: each device pass is ONE dispatch (lax.scan over
@@ -653,6 +698,8 @@ class IvfIndex:
             return
         k_new = k_for(n)
         cdt = s.centroids.dtype
+        # the per-chunk [A, k_new] distance transient must stay ~256MB
+        a_chunk = ASSIGN_CHUNK if k_new <= (1 << 15) else 1024
 
         # --- k-means: strided live sample init + Lloyd iterations (each
         # iteration is ONE device dispatch — see _lloyd_iter)
@@ -668,7 +715,7 @@ class IvfIndex:
         sample_n = min(n, LLOYD_SAMPLE)
         s_stride = max(n // sample_n, 1)
         sample_chunks = jnp.asarray(
-            _chunked(flat_live[::s_stride][:sample_n], ASSIGN_CHUNK)
+            _chunked(flat_live[::s_stride][:sample_n], a_chunk)
         )
         for _ in range(LLOYD_ITERS):
             centroids = _lloyd_iter(
@@ -681,7 +728,7 @@ class IvfIndex:
                 s.vectors,
                 s.scales,
                 centroids,
-                jnp.asarray(_chunked(flat_live, ASSIGN_CHUNK)),
+                jnp.asarray(_chunked(flat_live, a_chunk)),
                 self.space,
                 SPILL,
             )
@@ -694,15 +741,37 @@ class IvfIndex:
             ks, poss, unplaced = self._plan_placement(all_cids, used, b_new)
             if not unplaced.any():
                 break
-            b_new = int(b_new * 1.5 // 16 + 1) * 16
+            b_new = -(-int(b_new * 1.5) // 128) * 128  # stay 128-aligned
         perm = np.full((k_new, b_new), int(SENTINEL), dtype=np.int64)
         perm[ks, poss] = flat_live
-        new = init(D, k_new, b_new, self.dtype)._replace(centroids=centroids)
         old_rowid_h = self._rowid_h
-        self._state = permute_build(s, new, jnp.asarray(perm, dtype=jnp.int32))
+        rowid_flat = old_rowid_h.reshape(-1)
+
+        itemsize = s.vectors.dtype.itemsize
+        old_bytes = K * B * D * itemsize
+        new_bytes = k_new * b_new * D * itemsize
+        if old_bytes + new_bytes > HOST_PERMUTE_BYTES:
+            # Two banks cannot coexist in HBM at this scale (8M x 768
+            # int8 is ~9GB each): stage the permutation through host RAM
+            # — pull the old bank down in slices, FREE it, gather on
+            # host, push the new bank up.  On PCIe this is seconds; over
+            # the dev tunnel, minutes — and it happens once per bank
+            # doubling.
+            box = [s]
+            del s  # the box holds the ONLY reference to the old bank now
+            self._state = None
+            self._state = self._permute_via_host(
+                box, centroids, perm, k_new, b_new, D
+            )
+        else:
+            new = init(D, k_new, b_new, self.dtype)._replace(
+                centroids=centroids
+            )
+            self._state = permute_build(
+                s, new, jnp.asarray(perm, dtype=jnp.int32)
+            )
 
         # host mirrors follow the same permutation
-        rowid_flat = old_rowid_h.reshape(-1)
         self._rowid_h = np.full((k_new, b_new), -1, dtype=np.int64)
         self._rowid_h[ks, poss] = rowid_flat[flat_live]
         self._valid_h = np.zeros((k_new, b_new), dtype=bool)
@@ -714,6 +783,56 @@ class IvfIndex:
         self._free = {}  # every tombstone was just dropped
         self._clustered = True
         self._clustered_at = self._n_live
+
+    def _permute_via_host(
+        self, box: list, centroids, perm, k_new, b_new, D
+    ) -> IvfState:
+        """Recluster materialisation staged through host RAM (big banks).
+
+        `box` holds the sole reference to the old state — it is drained
+        as soon as the bank is pulled down, so the old and new device
+        banks never coexist."""
+        import ml_dtypes
+
+        s = box[0]
+        K, B = s.vectors.shape[0], s.vectors.shape[1]
+        KB = K * B
+        np_store = (
+            ml_dtypes.bfloat16
+            if s.vectors.dtype == jnp.bfloat16
+            else np.dtype(str(jnp.dtype(s.vectors.dtype)))
+        )
+        # Pull K-slices WITHOUT a device reshape: an eager reshape of the
+        # [K, B, D] bank materializes a second full copy in HBM — the
+        # exact allocation this path exists to avoid.
+        vec_h = np.empty((KB, D), dtype=np_store)
+        kstep = max((1 << 28) // (B * D * np.dtype(np_store).itemsize), 1)
+        for k0 in range(0, K, kstep):
+            blk = np.asarray(s.vectors[k0 : k0 + kstep])  # [kk, B, D]
+            vec_h[k0 * B : (k0 + blk.shape[0]) * B] = blk.reshape(-1, D)
+        scl_h = np.asarray(s.scales).reshape(-1)
+        del blk, s
+        box.clear()  # free the old device bank before allocating new
+
+        perm_flat = perm.reshape(-1)
+        sel = perm_flat != int(SENTINEL)  # empty slots carry SENTINEL, not -1
+        new_vec = np.zeros((k_new * b_new, D), dtype=np_store)
+        new_vec[sel] = vec_h[perm_flat[sel]]
+        del vec_h
+        new_scl = np.ones((k_new * b_new,), dtype=np.float32)
+        new_scl[sel] = scl_h[perm_flat[sel]]
+        rid_src = self._rowid_h.reshape(-1)
+        new_rid = np.full((k_new * b_new,), int(SENTINEL), dtype=np.int32)
+        new_rid[sel] = rid_src[perm_flat[sel]]
+        return IvfState(
+            centroids=centroids,
+            vectors=jnp.asarray(new_vec.reshape(k_new, b_new, D)).astype(
+                _storage_dtype(self.dtype)
+            ),
+            scales=jnp.asarray(new_scl.reshape(k_new, b_new)),
+            valid=jnp.asarray(sel.reshape(k_new, b_new)),
+            rowid=jnp.asarray(new_rid.reshape(k_new, b_new)),
+        )
 
     # -- query ----------------------------------------------------------------
 
@@ -779,6 +898,93 @@ class IvfIndex:
         if single:
             return dist[0], ids[0]
         return dist, ids
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Snapshot the bucketed bank to one npz (uncompressed: int8
+        banks at the 10M tier are multi-GB and near-incompressible; the
+        graph backend's compressed variant lives in core/persist.py).
+        Closes the same gap as core/persist.py — the reference rebuilds
+        from the source DB on every restart (SURVEY §5)."""
+        import json
+        from dataclasses import asdict
+
+        with self._lock:
+            s = self._state
+            meta = {
+                "format": 1,
+                "kind": "ivf",
+                "params": asdict(self.params),
+                "dtype": self.dtype,
+                "probes": self.probes,
+                "cluster_min": self.cluster_min,
+                "clustered": self._clustered,
+                "clustered_at": self._clustered_at,
+                "n_live": self._n_live,
+                "next_rowid": self._next_rowid,
+                "free": {str(c): v for c, v in self._free.items()},
+            }
+            vectors = (
+                np.asarray(s.vectors)
+                if self.dtype != "bfloat16"
+                # bf16 has no portable npz encoding; ride as f32
+                else np.asarray(s.vectors.astype(jnp.float32))
+            )
+            np.savez(
+                path,
+                vectors=vectors,
+                scales=np.asarray(s.scales),
+                valid=np.asarray(s.valid),
+                rowid=np.asarray(s.rowid),
+                centroids=np.asarray(s.centroids.astype(jnp.float32)),
+                n_used=self._n_used,
+                meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "IvfIndex":
+        import json
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            if meta.get("kind") != "ivf":
+                raise ValueError("not an ivf snapshot (use core.persist.load)")
+            idx = cls.__new__(cls)
+            idx.params = IndexParams(**meta["params"])
+            idx.space = idx.params.space
+            idx.dtype = meta["dtype"]
+            idx.dims = idx.params.dimensions
+            idx.probes = meta["probes"]
+            idx.cluster_min = meta["cluster_min"]
+            idx._clustered = meta["clustered"]
+            idx._clustered_at = meta["clustered_at"]
+            idx._n_live = meta["n_live"]
+            idx._next_rowid = meta["next_rowid"]
+            idx._free = {int(c): list(v) for c, v in meta["free"].items()}
+            idx._n_used = np.asarray(z["n_used"], dtype=np.int64)
+            valid = np.asarray(z["valid"])
+            rowid = np.asarray(z["rowid"])
+            idx._valid_h = valid
+            idx._rowid_h = np.where(valid, rowid.astype(np.int64), -1)
+            idx._loc = np.full((max(idx._next_rowid, 1), 2), -1, dtype=np.int64)
+            ks, poss = np.nonzero(valid)
+            live_ids = rowid[ks, poss].astype(np.int64)
+            idx._loc[live_ids, 0] = ks
+            idx._loc[live_ids, 1] = poss
+            idx._lock = threading.Lock()
+            idx._state = IvfState(
+                centroids=jnp.asarray(z["centroids"]).astype(
+                    _compute_dtype(idx.dtype)
+                ),
+                vectors=jnp.asarray(z["vectors"]).astype(
+                    _storage_dtype(idx.dtype)
+                ),
+                scales=jnp.asarray(z["scales"]),
+                valid=jnp.asarray(valid),
+                rowid=jnp.asarray(rowid),
+            )
+        return idx
 
     def exact_search(
         self, queries: np.ndarray, k: int
