@@ -42,6 +42,32 @@ def test_staging_phase_exact():
     assert got[0] != 0
 
 
+def test_staging_add_survives_bucket_growth():
+    """One add() larger than the initial K*B bank must not overwrite
+    rows placed before the mid-add _grow_bucket() (ADVICE r2 high: the
+    flat-cursor placement remapped occupied slots after B doubled,
+    silently losing ~28% of a 300K-row bulk add)."""
+    d = 8
+    n = 300_000
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="l2"), initial_capacity=0, cluster_min=4_000
+    )
+    assert idx.n_clusters * idx.state.bucket < n  # growth WILL happen mid-add
+    idx.cluster_min = 10**9  # keep the staging path under test (no recluster)
+    ids = idx.add(x)
+    assert idx.count() == n
+    live = idx._rowid_h[idx._valid_h]
+    assert len(live) == n  # no slot was overwritten
+    assert len(np.unique(live)) == n
+    # overwritten rows also stale _loc: removing must still be exact
+    idx.remove(ids[:100])
+    assert idx.count() == n - 100
+    d_, i_ = idx.exact_search(x[100:108], 1)
+    assert (i_[:, 0] == np.arange(100, 108)).all()
+
+
 @pytest.fixture(scope="module")
 def clustered_ivf():
     d = 32

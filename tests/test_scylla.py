@@ -24,14 +24,19 @@ from vector_store_tpu.ingest.scylla import (
 from vector_store_tpu.types import IndexMetadata, IndexId
 
 
-def _timeuuid(micros_since_unix: int) -> uuid.UUID:
-    """Build a v1 uuid whose timestamp equals the given unix-µs instant."""
-    ticks = (micros_since_unix - scylla.GREGORIAN_TO_UNIX_MICROS) * 10
+def _timeuuid_from_ticks(ticks: int) -> uuid.UUID:
     time_low = ticks & 0xFFFFFFFF
     time_mid = (ticks >> 32) & 0xFFFF
     time_hi = ((ticks >> 48) & 0x0FFF) | 0x1000  # version 1
     return uuid.UUID(
         fields=(time_low, time_mid, time_hi, 0x80, 0x00, 0x123456789ABC)
+    )
+
+
+def _timeuuid(micros_since_unix: int) -> uuid.UUID:
+    """Build a v1 uuid whose timestamp equals the given unix-µs instant."""
+    return _timeuuid_from_ticks(
+        (micros_since_unix - scylla.GREGORIAN_TO_UNIX_MICROS) * 10
     )
 
 
@@ -99,11 +104,14 @@ class FakeSession:
                     out.append((*pk, emb, wt))
             return out
         if "items_scylla_cdc_log" in query:
+            # the server's `"cdc$time" > ?` compares TIMEUUIDs by their
+            # 60-bit timestamp first (bytes as tiebreak), NOT by UUID.int
             (cursor,) = params
+            key = lambda u: (u.time, u.bytes)  # noqa: E731
             return [
                 (tu, op, *pk, emb)
                 for tu, op, pk, emb in self.cdc_rows
-                if tu.int > cursor.int
+                if key(tu) > key(cursor)
             ]
         raise AssertionError(f"unexpected query: {query}")
 
@@ -222,6 +230,39 @@ async def test_cdc_upsert_and_tombstone():
     stream.stop()
     async with asyncio.timeout(30):
         assert await stream.get() is None  # stream closes after stop
+
+
+@pytest.mark.asyncio
+async def test_cdc_cursor_advances_by_timeuuid_order():
+    """ADVICE r2: the poll cursor advanced by UUID.int — which leads
+    with time_low — so a later-in-time row with a smaller int never
+    became the cursor and everything above it was re-fetched every poll.
+    The cursor must follow timeuuid (timestamp-first) ordering."""
+    sess = FakeSession(dims=4)
+    src = ScyllaSource(sess)
+    meta = IndexMetadata(index_id=IndexId("ks.vecidx"))
+    stream = await src.get_db_index(meta)
+
+    base = 5 << 32
+    ta = _timeuuid_from_ticks(base + 0xFFFFFFF0)  # small time, HUGE int
+    tb = _timeuuid_from_ticks(base + (1 << 32) + 0x10)  # later time, small int
+    assert ta.int > tb.int and ta.time < tb.time  # orders disagree
+
+    sess.cdc_rows.append((ta, 1, (1, "a"), [1.0, 1.0, 1.0, 1.0]))
+    async with asyncio.timeout(30):
+        e = await stream.get()
+    assert e.primary_key == (1, "a")
+
+    sess.cdc_rows.append((tb, 1, (2, "b"), [2.0, 2.0, 2.0, 2.0]))
+    async with asyncio.timeout(30):
+        e = await stream.get()
+    assert e.primary_key == (2, "b")
+
+    # cursor is now tb by timeuuid order: NOTHING is re-delivered
+    with pytest.raises(TimeoutError):
+        async with asyncio.timeout(scylla.CDC_POLL_S * 5):
+            await stream.get()
+    stream.stop()
 
 
 @pytest.mark.asyncio

@@ -1,0 +1,140 @@
+"""Sharded-IVF parity with the single-chip IvfIndex (VERDICT r2 item 2).
+
+The IVF backend is the fastest serving tier; these tests prove it is a
+drop-in on the 8-virtual-device CPU mesh: staging→clustered transition,
+stable ids across recluster, tombstone churn, persistence, and the
+engine-level backend="ivf", n_devices>1 wiring (previously a silent
+fall-through to the graph backend — ADVICE r2).
+"""
+
+import numpy as np
+import pytest
+
+from vector_store_tpu.shard.sharded_ivf import ShardedIvfIndex
+from vector_store_tpu.types import IndexParams
+
+
+def _data(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(32, d)).astype(np.float32)
+    return centers[rng.integers(0, 32, n)] + 0.3 * rng.normal(
+        size=(n, d)
+    ).astype(np.float32)
+
+
+def _recall(ids, exact):
+    q, k = exact.shape
+    return np.mean([len(set(ids[i][:k]) & set(exact[i])) / k for i in range(q)])
+
+
+def test_sharded_ivf_staging_then_clustered():
+    d = 16
+    x = _data(6000, d, seed=1)
+    idx = ShardedIvfIndex(
+        IndexParams(dimensions=d, space="cosine"), n_devices=8, cluster_min=4000
+    )
+    gids = idx.add(x)
+    assert idx.count() == 6000
+    assert idx._clustered  # crossed cluster_min → per-shard recluster ran
+    # self-lookup at probes=16 on a 32-cluster mixture
+    dist, ids = idx.search(x[:64], 1, probes=16)
+    assert (ids[:, 0] == gids[:64]).all()
+    # recall vs the cross-shard exact oracle
+    rng = np.random.default_rng(2)
+    q = x[rng.choice(len(x), 64, replace=False)] + 0.05 * rng.normal(
+        size=(64, d)
+    ).astype(np.float32)
+    _, exact = idx.exact_search(q, 10)
+    _, got = idx.search(q, 10, probes=32)
+    assert _recall(got, exact) >= 0.9
+
+
+def test_sharded_ivf_ids_stable_across_compact():
+    d = 16
+    x = _data(5000, d, seed=3)
+    idx = ShardedIvfIndex(
+        IndexParams(dimensions=d, space="cosine"), n_devices=8, cluster_min=4000
+    )
+    gids = idx.add(x)
+    remap = idx.compact()  # recluster — ids must NOT move
+    assert remap == {}
+    assert idx.count() == 5000
+    _, ids = idx.search(x[:32], 1, probes=16)
+    assert (ids[:, 0] == gids[:32]).all()
+
+
+def test_sharded_ivf_remove_churn():
+    d = 12
+    x = _data(5000, d, seed=4)
+    idx = ShardedIvfIndex(
+        IndexParams(dimensions=d, space="l2"), n_devices=8, cluster_min=4000
+    )
+    gids = idx.add(x)
+    idx.remove(gids[:500])
+    assert idx.count() == 4500
+    idx.remove(gids[:500])  # double remove: no-op
+    assert idx.count() == 4500
+    idx.remove(np.asarray([10**6 + 1]))  # never-issued gid: no-op
+    assert idx.count() == 4500
+    # removed rows never come back from a search
+    _, ids = idx.search(x[:16], 3, probes=32)
+    dead = set(gids[:500].tolist())
+    assert not (set(ids.reshape(-1).tolist()) & dead)
+    # reinsert reuses tombstoned slots (no bucket growth at flat count)
+    b_before = idx.bucket
+    idx.add(x[:500])
+    assert idx.count() == 5000
+    assert idx.bucket == b_before
+
+
+def test_sharded_ivf_int8_and_persist(tmp_path):
+    d = 16
+    x = _data(5000, d, seed=5)
+    idx = ShardedIvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        n_devices=8,
+        cluster_min=4000,
+    )
+    import jax.numpy as jnp
+
+    gids = idx.add(x)
+    assert idx.state.vectors.dtype == jnp.int8
+    idx.remove(gids[:7])
+    path = str(tmp_path / "sharded_ivf.npz")
+    idx.save(path)
+    idx2 = ShardedIvfIndex.load(path, n_devices=8)
+    assert idx2.count() == idx.count()
+    q = x[100:132]
+    d1, i1 = idx.search(q, 5, probes=16)
+    d2, i2 = idx2.search(q, 5, probes=16)
+    assert (i1 == i2).all()
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-6)
+    # restored index keeps ingesting
+    idx2.add(x[:16])
+    assert idx2.count() == idx.count() + 16
+
+
+@pytest.mark.asyncio
+async def test_engine_ivf_sharded_backend():
+    """backend='ivf' + n_devices>1 now builds the sharded IVF (ADVICE r2:
+    it silently built the graph backend instead)."""
+    from vector_store_tpu.engine.ann_index import AnnIndexFactory
+    from vector_store_tpu.types import IndexId, IndexMetadata, Limit
+
+    factory = AnnIndexFactory(n_devices=8, backend="ivf")
+    meta = IndexMetadata(
+        index_id=IndexId("ks.sivf"),
+        params=IndexParams(dimensions=8, space="l2"),
+        key_columns=("id",),
+    )
+    handle = factory.create_index(IndexId("ks.sivf"), meta)
+    handle.metadata = meta
+    try:
+        x = _data(64, 8, seed=9)
+        await handle.add_or_replace_batch([((i,), row) for i, row in enumerate(x)])
+        assert await handle.count() == 64
+        keys, dists = await handle.ann(x[7], Limit(1))
+        assert keys[0] == (7,)
+    finally:
+        handle.close()
+        await handle.join()

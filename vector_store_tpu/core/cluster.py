@@ -188,12 +188,14 @@ def fill_chunk(
     return ring_assign(members, m_cnt, cid, ids, live)
 
 
+# `off` rides as a TRACED int32 scalar (the kernels only use it as
+# `off + jnp.arange(...)`): a static `off` would compile one XLA
+# executable per distinct chunk offset — ~2000 compilations of
+# fill_chunk alone for a router build over an 8M-row bank.
 _seed_centroids = jax.jit(seed_centroids, static_argnames=("cfg", "route_k"))
-_lloyd_chunk = jax.jit(
-    lloyd_chunk, static_argnames=("cfg", "off", "sample_n_max")
-)
+_lloyd_chunk = jax.jit(lloyd_chunk, static_argnames=("cfg", "sample_n_max"))
 _lloyd_finish = jax.jit(lloyd_finish, static_argnames=("space",))
-_fill_chunk = jax.jit(fill_chunk, static_argnames=("cfg", "off"))
+_fill_chunk = jax.jit(fill_chunk, static_argnames=("cfg",))
 
 
 def build_router(

@@ -131,10 +131,7 @@ def assign_top(
     return cids.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("space", "dtype"), donate_argnums=(0,)
-)
-def place(
+def place_impl(
     state: IvfState,
     vecs_raw: jnp.ndarray,  # [M, D] raw f32
     ks: jnp.ndarray,  # [M] target cluster (K = dropped lane)
@@ -143,7 +140,8 @@ def place(
     space: str,
     dtype: str,
 ) -> IvfState:
-    """Scatter a prepared batch into its (cluster, position) slots."""
+    """Scatter a prepared batch into its (cluster, position) slots.
+    Un-jitted body — the sharded backend re-wraps it under shard_map."""
     vecs = dist_mod.preprocess(vecs_raw.astype(jnp.float32), space)
     if dtype == "int8":
         from .quantize import quantize_rows
@@ -160,11 +158,20 @@ def place(
     )
 
 
-@jax.jit
-def unvalidate(state: IvfState, ks: jnp.ndarray, poss: jnp.ndarray) -> IvfState:
+place = jax.jit(
+    place_impl, static_argnames=("space", "dtype"), donate_argnums=(0,)
+)
+
+
+def unvalidate_impl(
+    state: IvfState, ks: jnp.ndarray, poss: jnp.ndarray
+) -> IvfState:
     return state._replace(
         valid=state.valid.at[ks, poss].set(False, mode="drop")
     )
+
+
+unvalidate = jax.jit(unvalidate_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("space", "k", "probes"))
@@ -398,8 +405,7 @@ def _assign_pass(vectors, scales, centroids, chunks, space, a):
     return out
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
-def permute_build(
+def permute_build_impl(
     old: IvfState,
     new: IvfState,
     perm: jnp.ndarray,  # [K', B'] flat source index into old (SENTINEL=empty)
@@ -419,7 +425,65 @@ def permute_build(
     )
 
 
+permute_build = jax.jit(permute_build_impl, donate_argnums=(1,))
+
+
 # --------------------------------------------------------------------------
+
+
+def plan_placement(
+    cids: np.ndarray,
+    n_used: np.ndarray,
+    bucket: int,
+    free: dict[int, list[int]] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side slot allocation with spill cascade.
+
+    cids [M, A] preference-ordered clusters per row.  Returns
+    (ks, poss, unplaced_mask); n_used (and `free`, when given) are
+    updated in place.  Tombstoned positions in `free` are reused
+    before the append cursor advances, so delete/reinsert churn does
+    not leak slots (leaked slots forced bucket-doubling reallocations
+    of the whole bank even at flat live count)."""
+    m = len(cids)
+    ks = np.full((m,), -1, dtype=np.int64)
+    poss = np.zeros((m,), dtype=np.int64)
+    pending = np.arange(m)
+    for a in range(cids.shape[1]):
+        if len(pending) == 0:
+            break
+        want = cids[pending, a]
+        order = np.argsort(want, kind="stable")
+        w_sorted = want[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(w_sorted)) + 1]
+        ends = np.r_[starts[1:], len(w_sorted)]
+        still = []
+        for s0, s1 in zip(starts, ends):
+            c = int(w_sorted[s0])
+            rows = pending[order[s0:s1]]
+            fl = free.get(c) if free is not None else None
+            take = min(len(fl), len(rows)) if fl else 0
+            if take:
+                got = rows[:take]
+                ks[got] = c
+                poss[got] = [fl.pop() for _ in range(take)]
+                if not fl:
+                    free.pop(c, None)
+                rows = rows[take:]
+            if len(rows):
+                fit = min(len(rows), max(bucket - int(n_used[c]), 0))
+                if fit:
+                    got = rows[:fit]
+                    ks[got] = c
+                    poss[got] = n_used[c] + np.arange(fit)
+                    n_used[c] += fit
+                    rows = rows[fit:]
+            if len(rows):
+                still.append(rows)
+        pending = (
+            np.concatenate(still) if still else np.empty((0,), np.int64)
+        )
+    return ks, poss, ks < 0
 
 
 class IvfIndex:
@@ -509,54 +573,7 @@ class IvfIndex:
         bucket: int,
         free: dict[int, list[int]] | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Host-side slot allocation with spill cascade.
-
-        cids [M, A] preference-ordered clusters per row.  Returns
-        (ks, poss, unplaced_mask); n_used (and `free`, when given) are
-        updated in place.  Tombstoned positions in `free` are reused
-        before the append cursor advances, so delete/reinsert churn does
-        not leak slots (leaked slots forced bucket-doubling reallocations
-        of the whole bank even at flat live count).
-        """
-        m = len(cids)
-        ks = np.full((m,), -1, dtype=np.int64)
-        poss = np.zeros((m,), dtype=np.int64)
-        pending = np.arange(m)
-        for a in range(cids.shape[1]):
-            if len(pending) == 0:
-                break
-            want = cids[pending, a]
-            order = np.argsort(want, kind="stable")
-            w_sorted = want[order]
-            starts = np.r_[0, np.flatnonzero(np.diff(w_sorted)) + 1]
-            ends = np.r_[starts[1:], len(w_sorted)]
-            still = []
-            for s0, s1 in zip(starts, ends):
-                c = int(w_sorted[s0])
-                rows = pending[order[s0:s1]]
-                fl = free.get(c) if free is not None else None
-                take = min(len(fl), len(rows)) if fl else 0
-                if take:
-                    got = rows[:take]
-                    ks[got] = c
-                    poss[got] = [fl.pop() for _ in range(take)]
-                    if not fl:
-                        free.pop(c, None)
-                    rows = rows[take:]
-                if len(rows):
-                    fit = min(len(rows), max(bucket - int(n_used[c]), 0))
-                    if fit:
-                        got = rows[:fit]
-                        ks[got] = c
-                        poss[got] = n_used[c] + np.arange(fit)
-                        n_used[c] += fit
-                        rows = rows[fit:]
-                if len(rows):
-                    still.append(rows)
-            pending = (
-                np.concatenate(still) if still else np.empty((0,), np.int64)
-            )
-        return ks, poss, ks < 0
+        return plan_placement(cids, n_used, bucket, free)
 
     # -- mutation -----------------------------------------------------------
 
@@ -611,16 +628,25 @@ class IvfIndex:
         self._loc[rid, 1] = poss
 
     def _add_staging(self, blk: np.ndarray, rid: np.ndarray) -> None:
-        """Sequential fill before the first clustering."""
+        """Sequential fill before the first clustering.
+
+        Placement derives from per-cluster fill counts, NOT a global
+        flat cursor: rows placed before a `_grow_bucket()` were laid out
+        with the OLD bucket width, so a `flat // B` mapping computed
+        with the new width would land on occupied slots and silently
+        overwrite them (every add() larger than K*B hit this)."""
         blk = self._to_dev(blk)
         m = len(blk)
         K, B = self._state.n_clusters, self._state.bucket
-        total = int(self._n_used.sum())
-        while total + m > K * B:
+        while int(self._n_used.sum()) + m > K * B:
             self._grow_bucket()
             B = self._state.bucket
-        flat = total + np.arange(m)
-        ks, poss = flat // B, flat % B
+        rem = B - self._n_used  # free tail slots per cluster, in order
+        cum = np.cumsum(rem)
+        j = np.arange(m)
+        ks = np.searchsorted(cum, j, side="right")
+        prev = np.where(ks > 0, cum[np.maximum(ks - 1, 0)], 0)
+        poss = self._n_used[ks] + (j - prev)
         np.add.at(self._n_used, ks, 1)
         self._scatter(blk, ks, poss, rid)
 

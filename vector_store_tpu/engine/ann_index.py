@@ -45,10 +45,16 @@ log = logging.getLogger("vst.ann")
 @dataclass
 class _UpsertRun:
     """Coalesced run of consecutive AddOrReplace/AddOrReplaceBatch
-    messages — applied as ONE batched device insert."""
+    messages — applied as ONE batched device insert.
+
+    `spans[j]` is the (start, end) item range carried by `replies[j]`:
+    an acked message whose items fail validation gets the error routed
+    to ITS reply, not a blanket success (the reference routes the
+    dim-check ValueError to the caller, usearch.rs:259-272)."""
 
     items: list  # [(PrimaryKey, np.ndarray raw)]
-    replies: list = field(default_factory=list)
+    replies: list = field(default_factory=list)  # [asyncio.Future]
+    spans: list = field(default_factory=list)  # [(start, end)] per reply
 
 
 @dataclass
@@ -75,9 +81,14 @@ class AnnIndexBackend:
         self.params = params
         if exact:
             backend = "exact"
-        if n_devices > 1:
-            # document-sharded index over the device mesh (SlotIndex and
-            # ShardedSlotIndex expose the same add/remove/search/count API)
+        if n_devices > 1 and backend == "ivf":
+            # document-sharded IVF over the device mesh (same
+            # add/remove/search/count API as the single-chip IvfIndex)
+            from ..shard.sharded_ivf import ShardedIvfIndex
+
+            self.index = ShardedIvfIndex(params, n_devices=n_devices)
+        elif n_devices > 1:
+            # document-sharded graph/exact index over the device mesh
             from ..shard.sharded_index import ShardedSlotIndex
 
             self.index = ShardedSlotIndex(
@@ -160,16 +171,20 @@ class AnnIndexBackend:
                 if not isinstance(prev, _UpsertRun):
                     prev = _UpsertRun(items=[])
                     out.append(prev)
+                start = len(prev.items)
                 prev.items.append((msg.primary_key, msg.embedding))
                 if msg.reply is not None:
                     prev.replies.append(msg.reply)
+                    prev.spans.append((start, len(prev.items)))
             elif isinstance(msg, AddOrReplaceBatch):
                 if not isinstance(prev, _UpsertRun):
                     prev = _UpsertRun(items=[])
                     out.append(prev)
+                start = len(prev.items)
                 prev.items.extend(msg.items)
                 if msg.reply is not None:
                     prev.replies.append(msg.reply)
+                    prev.spans.append((start, len(prev.items)))
             elif isinstance(msg, Remove):
                 if not isinstance(prev, _RemoveRun):
                     prev = _RemoveRun(keys=[])
@@ -181,18 +196,28 @@ class AnnIndexBackend:
 
     async def _apply_upsert_run(self, run: _UpsertRun) -> None:
         items = []
-        for k, e in run.items:
+        errors: dict[int, ValueError] = {}
+        for j, (k, e) in enumerate(run.items):
             # per-item validation: a malformed upsert in a coalesced run
             # must not poison its neighbours (reference logs-and-drops,
-            # opensearch.rs:166-172)
+            # opensearch.rs:166-172) — but an ACKED message whose items
+            # were dropped must get the error, not a silent success
             try:
                 items.append((k, self._check_dims(e)))
-            except ValueError:
+            except ValueError as exc:
+                errors[j] = exc
                 log.exception("index %s: dropping bad upsert", self.index_id)
         if items:
             await self._loop.run_in_executor(None, self._apply_upserts, items)
-        for reply in run.replies:
-            if not reply.done():
+        for reply, (start, end) in zip(run.replies, run.spans):
+            if reply.done():
+                continue
+            err = next(
+                (errors[j] for j in range(start, end) if j in errors), None
+            )
+            if err is not None:
+                reply.set_exception(err)
+            else:
                 reply.set_result(None)
 
     async def _apply_remove_run(self, run: _RemoveRun) -> None:

@@ -429,7 +429,12 @@ class ScyllaSource:
                 tu, _operation, *pk, embedding = row
                 if not isinstance(tu, uuid_mod.UUID):
                     tu = uuid_mod.UUID(str(tu))
-                if tu.int > cursor.int:
+                # Advance the cursor by TIMEUUID ordering (60-bit
+                # timestamp first, bytes as tiebreak) — the server's
+                # `"cdc$time" > ?` filter orders the same way, while raw
+                # UUID.int ordering leads with time_low and can pick a
+                # non-max row, re-fetching everything above it forever.
+                if (tu.time, tu.bytes) > (cursor.time, cursor.bytes):
                     cursor = tu
                 if any(v is None for v in pk):
                     log.debug("cdc row: missing a primary key column")

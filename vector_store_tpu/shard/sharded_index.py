@@ -211,24 +211,26 @@ def _sharded_seed(state, cfg, route_k, mesh_holder):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "off", "sample_max", "mesh_holder")
+    jax.jit, static_argnames=("cfg", "sample_max", "mesh_holder")
 )
-def _sharded_lloyd_chunk(state, centroids, cfg, off, sample_max, mesh_holder):
+def _sharded_lloyd_chunk(state, centroids, off, cfg, sample_max, mesh_holder):
+    # `off` is traced (replicated scalar): a static offset would compile
+    # one executable per chunk (see core/cluster.py jit wrappers).
     from ..core import cluster
 
-    def fn(state_blk, cent_blk):
+    def fn(state_blk, cent_blk, off_):
         s, c = cluster.lloyd_chunk(
-            _local(state_blk), cfg, cent_blk[0], off, sample_max
+            _local(state_blk), cfg, cent_blk[0], off_, sample_max
         )
         return s[None], c[None]
 
     return _shard_map_fn(
         fn,
         mesh=mesh_holder.mesh,
-        in_specs=(_STATE_SPEC(), P(SHARD_AXIS)),
+        in_specs=(_STATE_SPEC(), P(SHARD_AXIS), P()),
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
         check_vma=False,
-    )(state, centroids)
+    )(state, centroids, jnp.asarray(off, dtype=jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("space", "mesh_holder"))
@@ -249,23 +251,29 @@ def _sharded_lloyd_finish(centroids, sums, cnts, space, mesh_holder):
     )(centroids, sums, cnts)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "off", "mesh_holder"))
-def _sharded_fill_chunk(state, centroids, members, m_cnt, cfg, off, mesh_holder):
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh_holder"))
+def _sharded_fill_chunk(state, centroids, members, m_cnt, off, cfg, mesh_holder):
     from ..core import cluster
 
-    def fn(state_blk, cent_blk, mem_blk, cnt_blk):
+    def fn(state_blk, cent_blk, mem_blk, cnt_blk, off_):
         m, c = cluster.fill_chunk(
-            _local(state_blk), cfg, cent_blk[0], mem_blk[0], cnt_blk[0], off
+            _local(state_blk), cfg, cent_blk[0], mem_blk[0], cnt_blk[0], off_
         )
         return m[None], c[None]
 
     return _shard_map_fn(
         fn,
         mesh=mesh_holder.mesh,
-        in_specs=(_STATE_SPEC(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(
+            _STATE_SPEC(),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+            P(),
+        ),
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
         check_vma=False,
-    )(state, centroids, members, m_cnt)
+    )(state, centroids, members, m_cnt, jnp.asarray(off, dtype=jnp.int32))
 
 
 class _MeshHolder:
@@ -470,7 +478,7 @@ class ShardedSlotIndex:
             cnts = jax.device_put(jnp.zeros((S, k), dtype=jnp.float32), sh)
             for off in range(0, sample_n, cluster.ASSIGN_CHUNK):
                 s_, c_ = _sharded_lloyd_chunk(
-                    self._state, centroids, cfg, off, cluster.LLOYD_SAMPLE,
+                    self._state, centroids, off, cfg, cluster.LLOYD_SAMPLE,
                     self._holder,
                 )
                 sums = sums + s_
@@ -485,7 +493,7 @@ class ShardedSlotIndex:
         m_cnt = jax.device_put(jnp.zeros((S, k), dtype=jnp.int32), sh)
         for off in range(0, frontier, cluster.ASSIGN_CHUNK):
             members, m_cnt = _sharded_fill_chunk(
-                self._state, centroids, members, m_cnt, cfg, off, self._holder
+                self._state, centroids, members, m_cnt, off, cfg, self._holder
             )
         self.cfg = cfg
         self._state = self._state._replace(
