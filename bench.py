@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark — prints ONE JSON line:
+"""Headline benchmark — prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric: QPS/chip at recall@10 >= 0.95 on an N x 768-d cosine corpus
@@ -8,22 +8,29 @@ synthetic standing in for real embedding distributions (Cohere/GloVe-
 like; the benchmark datasets themselves are not fetchable offline —
 point VST_BENCH_FVECS at an .fvecs file to bench real data instead).
 
-Beyond the headline, stderr carries the BASELINE.md config ladder:
-  config 2 — the FULL recall/QPS tradeoff curve (every ef rung timed,
-             every probe rung timed; nothing trimmed at large N)
-  config 3 — streaming-ingest rate through the real pipeline
-             (MemDb scan → monitor_items → index actor), i8-quantized
-  config 4 — churn: delete 30% + reinsert, recall before/after compact
+Structure (round-3 redesign — round 2's bench timed out before printing
+the headline, so no perf number was captured at all):
+
+  1. fused-vs-XLA parity check on the real chip (~30 s, small N) —
+     prints `# fused-parity: ok|FAIL`; FAIL falls back to the XLA path
+  2. exact f32 scan: ground truth + the always-eligible scan candidate
+  3. IVF int8 + fused probe-scan: the headline candidate
+  -> the headline JSON is printed HERE, as soon as a recall>=0.95
+     number exists, and stdout is flushed
+  4. everything else (churn+compact, serving-path latency, graph ef
+     curve, int8 scan, ingest pipeline) is best-effort under a wall-
+     clock budget (VST_BENCH_BUDGET_S, default 1200 s): phases that
+     don't fit are skipped with a `# skip` log line, and no failure
+     past the headline can change the exit code
 
 vs_baseline: ratio against the local CPU-HNSW anchor (the usearch-CPU
 role; BASELINE.md requires the anchor measured locally on the same
 data).  The CPU anchor is cached in bench_baseline.json because the
-single-core build takes ~an hour at 100K — delete the file to re-measure.
+single-core build takes hours at 1M — delete the file to re-measure.
 
 Env knobs: VST_BENCH_N (corpus size, default 1M), VST_BENCH_Q (queries,
-default 2048), VST_BENCH_SKIP_BASELINE=1 (report vs_baseline from cache
-or 0.0), VST_BENCH_LITE=1 (headline candidates only — skip configs 3/4
-and the int8 variants; for quick local iteration).
+default 2048), VST_BENCH_BUDGET_S (wall budget, default 1200),
+VST_BENCH_SKIP_BASELINE=1, VST_BENCH_LITE=1 (headline path only).
 """
 
 from __future__ import annotations
@@ -44,6 +51,8 @@ K = 10
 TARGET_RECALL = 0.95
 SEED = 42
 LITE = os.environ.get("VST_BENCH_LITE") == "1"
+BUDGET_S = float(os.environ.get("VST_BENCH_BUDGET_S", "1200"))
+T_START = time.time()
 BASELINE_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
 )
@@ -61,7 +70,18 @@ PROBE_LADDER = (4, 8, 16, 32)
 
 
 def log(msg: str) -> None:
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.time() - T_START:5.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def fits(est_s: float, phase: str) -> bool:
+    if remaining() >= est_s:
+        return True
+    log(f"# skip {phase}: est {est_s:.0f}s > {remaining():.0f}s budget left")
+    return False
 
 
 def make_dataset(n: int, d: int, q: int, seed: int = SEED):
@@ -127,29 +147,39 @@ class DeviceTimer:
         return n_queries / best
 
 
-def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
-    """Bench every device backend — exact MXU scan (f32 + int8), graph
-    beam search (full ef curve), IVF bucketed scan (full probe curve) —
-    and report the fastest one clearing the recall bar.  All are
-    first-class index kinds in the service; a user picks per collection."""
-    import jax
+def check_fused_parity(xla_out, fused_out) -> bool:
+    """VERDICT r2 item 3: on-chip fused-vs-XLA equivalence, checked on
+    the first sweep rung where BOTH kernels are compiled anyway (a
+    standalone small-N check costs ~4 min of duplicate compiles over the
+    tunnel).  Interpret-mode tests cover CI; this covers the compiled
+    Mosaic kernel on the actual hardware.  On FAIL the bench logs and
+    falls back to the XLA path."""
+    d_ref, i_ref = (np.asarray(a) for a in xla_out)
+    d_fus, i_fus = (np.asarray(a) for a in fused_out)
+    # distances must agree tightly; ids may differ only at ties
+    dist_err = float(np.max(np.abs(np.sort(d_ref) - np.sort(d_fus))))
+    overlap = recall_of(i_fus, i_ref)
+    if dist_err > 2e-2 or overlap < 0.97:
+        log(
+            f"# fused-parity: FAIL (dist_err={dist_err:.4f} "
+            f"id_overlap={overlap:.3f}) — XLA fallback"
+        )
+        return False
+    log(f"# fused-parity: ok (dist_err={dist_err:.4f} id_overlap={overlap:.3f})")
+    return True
+
+
+def bench_exact_scan(x, queries, timer):
+    """Exact MXU scan (f32): ground truth for every later phase, the
+    always-eligible headline fallback, and the serving-latency floor."""
     import jax.numpy as jnp
 
     from vector_store_tpu.core import SlotIndex, bruteforce
     from vector_store_tpu.core import distance as dist_mod
-    from vector_store_tpu.core import search as search_mod
     from vector_store_tpu.types import IndexParams
 
     n, d = x.shape
     cap = max(1 << 16, 1 << (n - 1).bit_length())
-    timer = DeviceTimer()
-    candidates = []
-    build_rates = {}
-
-    qp_f32 = None  # preprocessed queries, reused across phases
-    exact = None  # ground truth ids [Q, K]
-
-    # ---- phase A: exact scan (f32 storage) + ground truth -----------------
     exact_idx = SlotIndex(
         IndexParams(dimensions=d, space="cosine", capacity=n),
         initial_capacity=cap,
@@ -157,9 +187,7 @@ def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
     )
     t0 = time.time()
     exact_idx.add(x)
-    scan_build_s = time.time() - t0
-    build_rates["scan"] = n / scan_build_s
-    log(f"# scan ingest: {build_rates['scan']:.0f} vec/s")
+    log(f"# scan ingest: {n / (time.time() - t0):.0f} vec/s")
 
     state = exact_idx.state
     qp_f32 = dist_mod.preprocess(jnp.asarray(queries), "cosine").astype(
@@ -180,10 +208,8 @@ def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
     out = bruteforce.search(qp_vars[0], state.vectors, state.valid, "cosine", K)
     scan_rec = recall_of(np.asarray(out[1]), exact)
     log(f"# scan: recall@10={scan_rec:.3f} qps={scan_qps:.0f}")
-    if scan_rec >= TARGET_RECALL:
-        candidates.append(("exact-scan", scan_qps, scan_rec))
 
-    # serving-latency probe: single small batch per call, p50/p99
+    # device-latency floor: single batch-8 dispatch, host roundtrip incl
     try:
         q8 = [jnp.roll(qp_f32[:8], r, axis=0) for r in range(30)]
         lat = []
@@ -207,168 +233,102 @@ def bench_tpu(x: np.ndarray, queries: np.ndarray) -> dict:
     except Exception as exc:  # noqa: BLE001 — latency probe is best-effort
         log(f"# latency probe failed: {exc}")
 
-    del state, exact_idx, out
-    gc.collect()
+    cand = ("exact-scan", scan_qps, scan_rec) if scan_rec >= TARGET_RECALL else None
+    del out
+    return exact, exact_idx, cand
 
-    # ---- phase A2: exact scan, int8 storage (quantized memory parity) -----
-    if not LITE:
-        i8_idx = SlotIndex(
-            IndexParams(dimensions=d, space="cosine", capacity=n, dtype="int8"),
-            initial_capacity=cap,
-            exact=True,
-        )
-        t0 = time.time()
-        i8_idx.add(x)
-        build_rates["scan-int8"] = n / (time.time() - t0)
-        s8 = i8_idx.state
-        i8_qps = timer.qps(
-            lambda r: bruteforce.search(
-                qp_vars[r % 12],
-                s8.vectors,
-                s8.valid,
-                "cosine",
-                K,
-                scales=s8.scales,
-            ),
-            len(queries),
-        )
-        o8 = bruteforce.search(
-            qp_vars[0], s8.vectors, s8.valid, "cosine", K, scales=s8.scales
-        )
-        i8_rec = recall_of(np.asarray(o8[1]), exact)
-        log(f"# scan-int8: recall@10={i8_rec:.3f} qps={i8_qps:.0f}")
-        if i8_rec >= TARGET_RECALL:
-            candidates.append(("exact-scan-int8", i8_qps, i8_rec))
-        del i8_idx, s8, o8
-        gc.collect()
 
-    # ---- phase B: graph index, FULL ef curve (config 2) -------------------
-    idx = SlotIndex(
-        IndexParams(dimensions=d, space="cosine", capacity=n),
-        initial_capacity=cap,
-        insert_block=1024,
+def bench_ivf(x, queries, exact, timer, fused_ok):
+    """IVF int8 bucketed backend — the headline candidate (config 2/3
+    curve).  Returns (best_candidate | None, ivf) with the index left
+    alive for the churn phase."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf import IvfIndex, search_clustered
+    from vector_store_tpu.types import IndexParams
+
+    n, d = x.shape
+    ivf = IvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        initial_capacity=n,
     )
     t0 = time.time()
-    idx.add(x)
-    build_s = time.time() - t0
-    build_rates["graph"] = n / build_s
+    ivf.add(x)
+    log(
+        f"# ivf ingest: {n / (time.time() - t0):.0f} vec/s "
+        f"(clusters={ivf.n_clusters}, bucket={ivf.state.bucket})"
+    )
+    fused_ok = fused_ok and ivf._fused_ok()
+    if fused_ok:
+        from vector_store_tpu.core.ivf_pallas import search_clustered_fused
 
-    qdev_vars = [jnp.roll(jnp.asarray(queries), r, axis=0) for r in range(12)]
-    best_graph = None
-    log("# config-2 curve (graph ef sweep, all rungs timed):")
-    for knobs in EF_LADDER:
-        cfg = dataclasses.replace(idx.cfg, **knobs)
-        d_, i_ = search_mod.search(idx.state, qdev_vars[0], cfg, K)
-        jax.block_until_ready((d_, i_))
-        rec = recall_of(np.asarray(i_), exact)
+    parity_done = False
+    best_ivf = None
+    qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
+    log("# config-2 curve (ivf probe sweep, cheapest-first):")
+    for probes in PROBE_LADDER:
+        if best_ivf is None and probes != PROBE_LADDER[0] and remaining() < 150:
+            log("# ivf sweep truncated (budget) — headline falls back to scan")
+            break
+        d_, i_ = ivf.search(queries, K, probes=probes)
+        rec = recall_of(i_, exact)
+        st = ivf.state
         qps = timer.qps(
-            lambda r: search_mod.search(
-                idx.state, qdev_vars[r % 12], cfg, K
-            ),
+            lambda r: search_clustered(st, qdev[r % 12], "cosine", K, probes),
             len(queries),
             reps=6,
             blocks=2,
         )
-        log(f"#   graph ef={knobs['ef_search']}: recall@10={rec:.3f} qps={qps:.0f}")
-        if best_graph is None or (
-            rec >= TARGET_RECALL
-            and (best_graph[2] < TARGET_RECALL or qps > best_graph[1])
-        ):
-            best_graph = (f"graph-ef{cfg.ef_search}", qps, rec)
-    name, qps, rec = best_graph
-    log(f"# graph best: {name} recall@10={rec:.3f} qps={qps:.0f}")
-    if rec >= TARGET_RECALL or not candidates:
-        candidates.append(best_graph)
-    del idx
-    gc.collect()
-
-    # ---- phase C: IVF bucketed backend, full probe curve + churn ----------
-    if not LITE:
-        from vector_store_tpu.core.ivf import IvfIndex, search_clustered
-
-        ivf = IvfIndex(
-            IndexParams(dimensions=d, space="cosine", dtype="int8"),
-            initial_capacity=n,
-        )
-        t0 = time.time()
-        ivf.add(x)
-        build_rates["ivf-int8"] = n / (time.time() - t0)
-        log(
-            f"# ivf ingest: {build_rates['ivf-int8']:.0f} vec/s "
-            f"(clusters={ivf.n_clusters}, bucket={ivf.state.bucket})"
-        )
-        best_ivf = None
-        qraw_vars = [np.roll(queries, r, axis=0) for r in range(12)]
-        qdev = [jnp.asarray(qv) for qv in qraw_vars]
-        fused_ok = ivf._fused_ok()
+        line = f"#   ivf probes={probes}: recall@10={rec:.3f} qps={qps:.0f}"
+        name = f"ivf-p{probes}"
         if fused_ok:
-            from vector_store_tpu.core.ivf_pallas import (
-                search_clustered_fused,
-            )
-        log("# config-2 curve (ivf probe sweep, all rungs timed):")
-        for probes in PROBE_LADDER:
-            d_, i_ = ivf.search(queries, K, probes=probes)
-            rec = recall_of(i_, exact)
-            st = ivf.state
-            qps = timer.qps(
-                lambda r: search_clustered(
-                    st, qdev[r % 12], "cosine", K, probes
-                ),
-                len(queries),
-                reps=6,
-                blocks=2,
-            )
-            line = f"#   ivf probes={probes}: recall@10={rec:.3f} qps={qps:.0f}"
-            name = f"ivf-p{probes}"
-            if fused_ok:
-                # one fused dispatch is SMEM-capped at ~1024 queries
-                half = len(queries) // 2
+            # one fused dispatch is SMEM-capped at ~1024 queries
+            half = len(queries) // 2
 
-                def fused_run(r):
-                    a = search_clustered_fused(
-                        st, qdev[r % 12][:half], "cosine", K, probes
-                    )
-                    b = search_clustered_fused(
-                        st, qdev[r % 12][half:], "cosine", K, probes
-                    )
-                    return a[0], b[0]
-
-                fused_qps = timer.qps(
-                    fused_run, len(queries), reps=6, blocks=2
+            def fused_run(r):
+                a = search_clustered_fused(
+                    st, qdev[r % 12][:half], "cosine", K, probes
                 )
+                b = search_clustered_fused(
+                    st, qdev[r % 12][half:], "cosine", K, probes
+                )
+                return a[0], b[0]
+
+            if not parity_done:
+                # both kernels are freshly compiled at this rung — the
+                # cheapest possible place for the on-chip equivalence gate
+                parity_done = True
+                fused_ok = check_fused_parity(
+                    search_clustered(st, qdev[0][:half], "cosine", K, probes),
+                    search_clustered_fused(st, qdev[0][:half], "cosine", K, probes),
+                )
+            if fused_ok:
+                fused_qps = timer.qps(fused_run, len(queries), reps=6, blocks=2)
                 line += f" fused_qps={fused_qps:.0f}"
                 if fused_qps > qps:
                     qps, name = fused_qps, f"ivf-fused-p{probes}"
-            log(line)
-            if best_ivf is None or (
-                rec >= TARGET_RECALL
-                and (best_ivf[2] < TARGET_RECALL or qps > best_ivf[1])
-            ):
-                best_ivf = (name, qps, rec)
-            if rec >= TARGET_RECALL and probes >= 8:
-                break  # rungs past the bar only get slower
-        log(f"# ivf best: {best_ivf[0]} recall@10={best_ivf[2]:.3f} qps={best_ivf[1]:.0f}")
-        if best_ivf[2] >= TARGET_RECALL:
-            candidates.append(best_ivf)
-
-        bench_churn(ivf, x, exact_probes=int(best_ivf[0].split("p")[-1]))
-        del ivf
-        gc.collect()
-
-    name, qps, rec = max(candidates, key=lambda c: c[1])
-    return {
-        "qps": qps,
-        "recall": rec,
-        "build_s": build_s,
-        "build_rate": build_rates.get("graph", 0.0),
-        "backend": name,
-    }
+        log(line)
+        if best_ivf is None or (
+            rec >= TARGET_RECALL
+            and (best_ivf[2] < TARGET_RECALL or qps > best_ivf[1])
+        ):
+            best_ivf = (name, qps, rec)
+        if rec >= TARGET_RECALL:
+            # recall rises with probes while qps falls, so the FIRST rung
+            # clearing the bar is also the fastest clearing rung — and
+            # every rung costs a fresh ~40 s compile over the tunnel.
+            # The remaining rungs run post-headline if the budget allows.
+            break
+    log(f"# ivf best: {best_ivf[0]} recall@10={best_ivf[2]:.3f} qps={best_ivf[1]:.0f}")
+    rest = tuple(p for p in PROBE_LADDER if p > probes)
+    return (best_ivf if best_ivf[2] >= TARGET_RECALL else None), ivf, rest
 
 
 def bench_churn(ivf, x: np.ndarray, exact_probes: int) -> None:
     """Config 4 — recall under churn: delete 30%, reinsert fresh rows,
     measure recall against an exact scan of the MUTATED bank, compact
-    (recluster), measure again (tombstone/compaction, DEEP-churn role)."""
+    (incremental by default — full Lloyd only on doubling), measure
+    again.  The compact is timed and reported (VERDICT r2 item 4)."""
     rng = np.random.default_rng(7)
     n = len(x)
     n_kill = int(0.3 * n)
@@ -389,14 +349,11 @@ def bench_churn(ivf, x: np.ndarray, exact_probes: int) -> None:
     _, got = ivf.search(probes_q, K, probes=exact_probes)
     rec = recall_of(got, gt)
     t0 = time.time()
-    ivf.compact()
+    ivf.compact()  # incremental: spill-dirty clusters only
     compact_s = time.time() - t0
     _, gt2 = ivf.exact_search(probes_q, K)
-    # post-recluster the churned (near-duplicate-heavy) distribution can
-    # oversubscribe hot clusters, spilling rows to 2nd..4th-choice
-    # buckets — sweep probes so the curve, not one point, is on record
     post = {}
-    for p in (exact_probes, 2 * exact_probes, 4 * exact_probes):
+    for p in (exact_probes, 2 * exact_probes):
         _, got2 = ivf.search(probes_q, K, probes=p)
         post[p] = recall_of(got2, gt2)
     hit = float(np.mean(got2[:, 0] == new_ids[qi]))
@@ -404,8 +361,270 @@ def bench_churn(ivf, x: np.ndarray, exact_probes: int) -> None:
     log(
         f"# config-4 churn (30% delete+reinsert @ {n}): recall@10={rec:.3f} "
         f"post-compact[{post_s}] top1-self={hit:.3f} "
-        f"churn={churn_s:.0f}s compact={compact_s:.0f}s"
+        f"churn={churn_s:.0f}s compact={compact_s:.1f}s"
     )
+
+
+def bench_serving_latency() -> None:
+    """VERDICT r2 item 7 — p50/p99 through the REAL serving path:
+    HTTP → engine → index actor → MicroBatcher → device, for both the
+    graph and IVF backends, at concurrency 1/8/64.  Reference seam:
+    httproutes.rs:132-150."""
+    import asyncio
+
+    n_serve = int(os.environ.get("VST_BENCH_SERVE_N", "50000"))
+
+    async def run() -> None:
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from vector_store_tpu import new_index_factory
+        from vector_store_tpu.api.routes import build_app
+        from vector_store_tpu.engine.engine import new_engine
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(n_serve, D)).astype(np.float32)
+        centers = x[:64]
+        x = centers[rng.integers(0, 64, n_serve)] + 0.35 * x
+
+        engine = await new_engine(new_index_factory())
+        app = build_app(engine)
+        c = TestClient(TestServer(app))
+        await c.start_server()
+        try:
+            for kind in ("ann", "ivf"):
+                r = await c.put(
+                    f"/api/v1/indexes/bench/{kind}",
+                    json={
+                        "dimensions": D,
+                        "space": "cosine",
+                        "key_columns": ["id"],
+                        "kind": kind,
+                    },
+                )
+                assert r.status == 200, await r.text()
+                handle = await engine.get_index(
+                    next(
+                        i
+                        for i in await engine.get_index_ids()
+                        if str(i).endswith(kind)
+                    )
+                )
+                t0 = time.time()
+                for off in range(0, n_serve, 4096):
+                    await handle.add_or_replace_batch(
+                        [
+                            ((i,), x[i])
+                            for i in range(off, min(off + 4096, n_serve))
+                        ]
+                    )
+                while await handle.count() < n_serve:
+                    await asyncio.sleep(0.05)
+                log(
+                    f"# serve[{kind}] ingest via actor: "
+                    f"{n_serve / (time.time() - t0):.0f} vec/s"
+                )
+
+                qs = (
+                    x[rng.integers(0, n_serve, 512)]
+                    + 0.1 * rng.normal(size=(512, D)).astype(np.float32)
+                ).tolist()
+
+                async def one(i: int) -> float:
+                    t0 = time.time()
+                    r = await c.post(
+                        f"/api/v1/indexes/bench/{kind}/ann",
+                        json={"embedding": qs[i % 512], "limit": K},
+                    )
+                    assert r.status == 200, await r.text()
+                    await r.json()
+                    return time.time() - t0
+
+                for conc in (1, 8, 64):
+                    # warm the batcher's shape buckets first (twice —
+                    # coalescing makes the first round's bucket set
+                    # nondeterministic, and a compile inside the timed
+                    # region would dominate the p99)
+                    await asyncio.gather(*(one(i) for i in range(conc)))
+                    await asyncio.gather(*(one(i) for i in range(conc)))
+                    lats: list[float] = []
+                    for rep in range(max(30 // max(conc // 8, 1), 8)):
+                        lats.extend(
+                            await asyncio.gather(
+                                *(one(rep * conc + i) for i in range(conc))
+                            )
+                        )
+                    lats.sort()
+                    p50 = lats[len(lats) // 2] * 1000
+                    p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))] * 1000
+                    log(
+                        f"# serve[{kind}] http p50/p99 @conc={conc}: "
+                        f"{p50:.1f}/{p99:.1f} ms"
+                    )
+        finally:
+            await c.close()
+            await engine.close()
+
+    asyncio.run(run())
+
+
+def bench_graph(x, queries, exact, timer) -> None:
+    """Graph backend ef curve (config 2) — the build is the expensive
+    part, so the rate is measured on the first chunk and the full build
+    only proceeds if it fits the budget; otherwise the curve is swept at
+    the partial size (logged) so the crossover table still gets data."""
+    import jax
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core import SlotIndex
+    from vector_store_tpu.core import search as search_mod
+    from vector_store_tpu.types import IndexParams
+
+    n, d = x.shape
+    cap = max(1 << 16, 1 << (n - 1).bit_length())
+    idx = SlotIndex(
+        IndexParams(dimensions=d, space="cosine", capacity=n),
+        initial_capacity=cap,
+        insert_block=1024,
+    )
+    probe_n = min(n, 65536)
+    t0 = time.time()
+    idx.add(x[:probe_n])
+    rate = probe_n / (time.time() - t0)
+    built = probe_n
+    if n > probe_n:
+        est = (n - probe_n) / rate + 120
+        if remaining() >= est:
+            t0 = time.time()
+            idx.add(x[probe_n:])
+            rate = n / (probe_n / rate + (time.time() - t0))
+            built = n
+        else:
+            log(
+                f"# graph: partial build {probe_n} rows "
+                f"(full est {est:.0f}s > {remaining():.0f}s left)"
+            )
+    log(f"# graph ingest: {rate:.0f} vec/s over {built} rows")
+
+    qdev_vars = [jnp.roll(jnp.asarray(queries), r, axis=0) for r in range(12)]
+    best = None
+    log(f"# config-2 curve (graph ef sweep @ N={built}):")
+    for knobs in EF_LADDER:
+        if remaining() < 60:
+            log("# graph: ef sweep truncated (budget)")
+            break
+        cfg = dataclasses.replace(idx.cfg, **knobs)
+        d_, i_ = search_mod.search(idx.state, qdev_vars[0], cfg, K)
+        jax.block_until_ready((d_, i_))
+        rec = (
+            recall_of(np.asarray(i_), exact) if built == len(x) else float("nan")
+        )
+        qps = timer.qps(
+            lambda r: search_mod.search(idx.state, qdev_vars[r % 12], cfg, K),
+            len(queries),
+            reps=6,
+            blocks=2,
+        )
+        log(f"#   graph ef={knobs['ef_search']}: recall@10={rec:.3f} qps={qps:.0f}")
+        if best is None or (rec >= TARGET_RECALL and qps > best[1]):
+            best = (f"graph-ef{cfg.ef_search}", qps, rec)
+    if best:
+        log(f"# graph best: {best[0]} recall@10={best[2]:.3f} qps={best[1]:.0f}")
+    del idx
+    gc.collect()
+
+
+def bench_scan_int8(x, queries, exact, timer) -> None:
+    """Exact scan over int8 storage (quantized memory parity point)."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core import SlotIndex, bruteforce
+    from vector_store_tpu.core import distance as dist_mod
+    from vector_store_tpu.types import IndexParams
+
+    n, d = x.shape
+    cap = max(1 << 16, 1 << (n - 1).bit_length())
+    i8_idx = SlotIndex(
+        IndexParams(dimensions=d, space="cosine", capacity=n, dtype="int8"),
+        initial_capacity=cap,
+        exact=True,
+    )
+    t0 = time.time()
+    i8_idx.add(x)
+    log(f"# scan-int8 ingest: {n / (time.time() - t0):.0f} vec/s")
+    s8 = i8_idx.state
+    qp = dist_mod.preprocess(jnp.asarray(queries), "cosine").astype(
+        i8_idx.cfg.compute_dtype
+    )
+    qp_vars = [jnp.roll(qp, r, axis=0) for r in range(12)]
+    i8_qps = timer.qps(
+        lambda r: bruteforce.search(
+            qp_vars[r % 12], s8.vectors, s8.valid, "cosine", K, scales=s8.scales
+        ),
+        len(queries),
+    )
+    o8 = bruteforce.search(
+        qp_vars[0], s8.vectors, s8.valid, "cosine", K, scales=s8.scales
+    )
+    i8_rec = recall_of(np.asarray(o8[1]), exact)
+    log(f"# scan-int8: recall@10={i8_rec:.3f} qps={i8_qps:.0f}")
+    del i8_idx, s8, o8
+    gc.collect()
+
+
+def bench_real_data(timer) -> None:
+    """BASELINE configs 1-2 ask for recall on real embedding geometry;
+    with zero egress no public set is fetchable, so the checked-in
+    sample (bench_data/text10k.fvecs — char-trigram TF-IDF of real text
+    on disk, random-projected to 128-d; scripts/make_fvecs_sample.py)
+    provides anisotropic, naturally-clustered non-synthetic data for at
+    least one on-record recall point."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core import SlotIndex, bruteforce
+    from vector_store_tpu.core import distance as dist_mod
+    from vector_store_tpu.types import IndexParams
+    from vector_store_tpu.utils.native import read_fvecs
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_data", "text10k.fvecs"
+    )
+    x = read_fvecs(path, 10_000, 128)
+    rng = np.random.default_rng(9)
+    qi = rng.choice(len(x), 256, replace=False)
+    queries = (
+        x[qi] + 0.05 * rng.normal(size=(256, 128)).astype(np.float32)
+    ).astype(np.float32)
+
+    n, d = x.shape
+    idx = SlotIndex(
+        IndexParams(dimensions=d, space="cosine", capacity=n),
+        initial_capacity=1 << 14,
+    )
+    idx.add(x)
+    qp = dist_mod.preprocess(jnp.asarray(queries), "cosine").astype(
+        idx.cfg.compute_dtype
+    )
+    st = idx.state
+    _, gt = bruteforce.search(qp, st.vectors, st.valid, "cosine", K, approx=False)
+    gt = np.asarray(gt)
+
+    from vector_store_tpu.core import search as search_mod
+
+    qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
+    d_, i_ = search_mod.search(st, qdev[0], idx.cfg, K)
+    rec = recall_of(np.asarray(i_), gt)
+    qps = timer.qps(
+        lambda r: search_mod.search(st, qdev[r % 12], idx.cfg, K),
+        len(queries),
+        reps=6,
+        blocks=2,
+    )
+    log(
+        f"# real-data text10k.fvecs (graph, ef={idx.cfg.ef_search}): "
+        f"recall@10={rec:.3f} qps={qps:.0f}"
+    )
+    del idx
+    gc.collect()
 
 
 def bench_ingest_pipeline() -> None:
@@ -413,7 +632,7 @@ def bench_ingest_pipeline() -> None:
     MemDb snapshot scan → EmbeddingStream → monitor_items LWW bridge →
     index actor (coalesced batched device inserts), i8-quantized 768-d.
     This is the rate a Scylla-CDC deployment would see, not a direct
-    index.add() (round-1 gap: the pipeline rate was never measured)."""
+    index.add()."""
     import asyncio
 
     n_ing = int(os.environ.get("VST_BENCH_INGEST_N", "250000"))
@@ -428,20 +647,19 @@ def bench_ingest_pipeline() -> None:
         rng = np.random.default_rng(11)
         db = MemDb()
         db.add_table("vectors", ("id",), d)
-        # preload the table; the scan phase then streams it through the
-        # monitor bridge exactly like a Scylla initial full scan
-        tbl = db._tables["vectors"]
-        for off in range(0, n_ing, 65536):
-            m = min(65536, n_ing - off)
-            vecs = rng.normal(size=(m, d)).astype(np.float32)
-            for i in range(m):
-                await db.insert_values("vectors", (off + i,), vecs[i])
+        # bulk preload (direct table load, one schema bump); the scan
+        # phase then streams it through the monitor bridge exactly like
+        # a Scylla initial full scan
+        db.preload(
+            "vectors",
+            [(i,) for i in range(n_ing)],
+            rng.normal(size=(n_ing, d)).astype(np.float32),
+        )
         meta = db.add_index(
             "ks.stream",
             "vectors",
             IndexParams(dimensions=d, space="cosine", dtype="int8"),
         )
-        del tbl
 
         factory = AnnIndexFactory(backend="ivf")
         handle = factory.create_index(meta.index_id, meta)
@@ -459,26 +677,32 @@ def bench_ingest_pipeline() -> None:
         await handle.join()
         return dt, cnt
 
-    try:
-        dt, cnt = asyncio.run(run())
-        log(
-            f"# config-3 ingest pipeline (memdb→monitor→actor, int8 {d}-d): "
-            f"{cnt / dt:.0f} vec/s over {cnt} rows"
-        )
-    except Exception as exc:  # noqa: BLE001 — report, don't kill the headline
-        log(f"# config-3 ingest pipeline failed: {exc!r}")
+    dt, cnt = asyncio.run(run())
+    log(
+        f"# config-3 ingest pipeline (memdb→monitor→actor, int8 {d}-d): "
+        f"{cnt / dt:.0f} vec/s over {cnt} rows"
+    )
 
 
-def bench_cpu_baseline(x: np.ndarray, queries: np.ndarray) -> dict:
-    """CPU-HNSW anchor on identical data (cached)."""
+def cpu_baseline_qps(x, queries) -> float:
+    """CPU-HNSW anchor on identical data (cached; measuring takes hours
+    single-core at 1M, so a missing cache entry is only filled when the
+    budget clearly allows or VST_BENCH_FORCE_BASELINE=1)."""
     key = f"{N}x{D}-seed{SEED}"
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as fh:
             cache = json.load(fh)
         if key in cache:
-            return cache[key]
+            return float(cache[key]["qps"])
     if os.environ.get("VST_BENCH_SKIP_BASELINE") == "1":
-        return {"qps": 0.0, "recall": 0.0}
+        return 0.0
+    if (
+        os.environ.get("VST_BENCH_FORCE_BASELINE") != "1"
+        and N * D > 100_000 * 128
+    ):
+        log(f"# cpu baseline: no cache entry for {key}; skipping (hours-long)")
+        return 0.0
 
     from vector_store_tpu.utils.native import HnswBaseline
 
@@ -503,38 +727,120 @@ def bench_cpu_baseline(x: np.ndarray, queries: np.ndarray) -> dict:
         if rec >= TARGET_RECALL:
             break
 
-    cache = {}
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as fh:
-            cache = json.load(fh)
     cache[key] = result
     with open(BASELINE_CACHE, "w") as fh:
         json.dump(cache, fh, indent=1)
-    return result
+    return float(result["qps"])
 
 
 def main() -> None:
+    log(f"# bench: N={N} D={D} Q={Q} budget={BUDGET_S:.0f}s")
     x, queries = make_dataset(N, D, Q)
-    tpu = bench_tpu(x, queries)
-    log(
-        f"# tpu[{tpu['backend']}]: qps={tpu['qps']:.0f} recall={tpu['recall']:.3f} "
-        f"build={tpu['build_rate']:.0f} vec/s"
-    )
-    if not LITE:
-        bench_ingest_pipeline()
-    base = bench_cpu_baseline(x, queries)
-    vs = tpu["qps"] / base["qps"] if base.get("qps") else 0.0
+    timer = DeviceTimer()
+    candidates = []
+
+    # the fused-vs-XLA parity gate runs inside the IVF phase, on the
+    # first rung where both kernels are compiled anyway
+    fused_ok = True
+
+    # 2. exact scan: ground truth + fallback candidate
+    exact, exact_idx, scan_cand = bench_exact_scan(x, queries, timer)
+    if scan_cand:
+        candidates.append(scan_cand)
+
+    # 3. IVF int8 — the headline candidate
+    ivf, rest_probes = None, ()
+    try:
+        ivf_cand, ivf, rest_probes = bench_ivf(x, queries, exact, timer, fused_ok)
+        if ivf_cand:
+            candidates.append(ivf_cand)
+    except Exception as exc:  # noqa: BLE001
+        log(f"# ivf phase failed: {exc!r}")
+
+    # -> HEADLINE, printed the moment a recall>=0.95 number exists
+    name, qps, rec = max(candidates, key=lambda c: c[1])
+    base_qps = cpu_baseline_qps(x, queries)
+    vs = qps / base_qps if base_qps else 0.0
+    log(f"# headline[{name}]: qps={qps:.0f} recall={rec:.3f} vs_cpu={vs:.1f}x")
     print(
         json.dumps(
             {
                 "metric": f"QPS/chip at recall@10>={TARGET_RECALL} ({N}x{D}-d cosine)",
-                "value": round(tpu["qps"], 1),
+                "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(vs, 2),
             }
-        )
+        ),
+        flush=True,
     )
+    if LITE:
+        return
+
+    # 4. best-effort extras under the wall-clock budget; nothing below
+    #    this line may change the exit code.  The IVF curve rest + churn
+    #    run first (they need the live 1M IVF, and churn mutates it),
+    #    then the big banks are freed for the rest.
+    if ivf is not None and rest_probes and fits(90 * len(rest_probes), "ivf curve rest"):
+        try:
+            import jax.numpy as jnp
+
+            from vector_store_tpu.core.ivf import search_clustered
+
+            st = ivf.state
+            qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
+            for probes in rest_probes:
+                if remaining() < 90:
+                    break
+                _, i_ = ivf.search(queries, K, probes=probes)
+                qps = timer.qps(
+                    lambda r: search_clustered(
+                        st, qdev[r % 12], "cosine", K, probes
+                    ),
+                    len(queries),
+                    reps=6,
+                    blocks=2,
+                )
+                log(
+                    f"#   ivf probes={probes}: recall@10={recall_of(i_, exact):.3f} "
+                    f"qps={qps:.0f}"
+                )
+            del st, qdev
+        except Exception as exc:  # noqa: BLE001
+            log(f"# ivf curve rest failed: {exc!r}")
+    if ivf is not None and not ivf._clustered:
+        log("# skip config-4 churn: ivf not clustered at this N")
+    elif ivf is not None and fits(240, "config-4 churn+compact"):
+        try:
+            t0 = time.time()
+            bench_churn(ivf, x, exact_probes=8)
+            log(f"# config-4 churn+compact: done in {time.time() - t0:.0f}s")
+        except Exception as exc:  # noqa: BLE001 — headline already out
+            log(f"# config-4 churn+compact failed: {exc!r}")
+    del ivf, exact_idx
+    gc.collect()
+
+    extras = [
+        ("serving-path latency", 360, bench_serving_latency),
+        ("graph ef curve", 300, lambda: bench_graph(x, queries, exact, timer)),
+        ("scan-int8", 150, lambda: bench_scan_int8(x, queries, exact, timer)),
+        ("config-3 ingest pipeline", 180, bench_ingest_pipeline),
+        ("real-data recall", 150, lambda: bench_real_data(timer)),
+    ]
+    for phase, est, fn in extras:
+        if not fits(est, phase):
+            continue
+        try:
+            t0 = time.time()
+            fn()
+            log(f"# {phase}: done in {time.time() - t0:.0f}s")
+        except Exception as exc:  # noqa: BLE001 — headline already out
+            log(f"# {phase} failed: {exc!r}")
+    log(f"# bench done in {time.time() - T_START:.0f}s")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        raise
+    sys.exit(0)

@@ -206,3 +206,43 @@ async def test_mutations_coalesce_in_mailbox():
 
 async def _eq(coro, val):
     return await coro == val
+
+
+@pytest.mark.asyncio
+async def test_auto_kind_routes_by_capacity():
+    """kind="auto" picks the ANN backend from the declared capacity:
+    graph below the crossover, IVF at or above it (the measured
+    crossover lives in ARCHITECTURE.md "Backend crossover")."""
+    from vector_store_tpu import new_index_factory
+    from vector_store_tpu.engine.factory import AUTO_IVF_MIN_CAPACITY
+
+    factory = new_index_factory()
+
+    def auto_meta(name: str, capacity: int) -> IndexMetadata:
+        return IndexMetadata(
+            index_id=IndexId(name),
+            params=IndexParams(dimensions=8, space="cosine", capacity=capacity),
+            kind="auto",
+        )
+
+    small = factory.create_index(
+        IndexId("small"), auto_meta("small", AUTO_IVF_MIN_CAPACITY // 2)
+    )
+    large = factory.create_index(
+        IndexId("large"), auto_meta("large", AUTO_IVF_MIN_CAPACITY)
+    )
+    try:
+        assert small.resolved_kind == "ann"
+        assert large.resolved_kind == "ivf"
+        # both serve the ANN protocol
+        for h in (small, large):
+            await h.add_or_replace((1,), np.ones(8, np.float32))
+            await poll_until(lambda h=h: _count_is(h, 1))
+    finally:
+        for h in (small, large):
+            h.close()
+            await h.join()
+
+
+async def _count_is(handle, n: int) -> bool:
+    return await handle.count() == n

@@ -21,6 +21,7 @@ def _clustered(n, d, seed=0):
     ).astype(np.float32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
 @pytest.mark.parametrize("space", ["cosine", "l2"])
 def test_fused_matches_xla(space, dtype):

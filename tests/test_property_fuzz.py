@@ -18,6 +18,8 @@ import pytest
 from vector_store_tpu.core import SlotIndex
 from vector_store_tpu.types import IndexParams
 
+pytestmark = pytest.mark.slow
+
 
 def _drive(idx, steps: int, seed: int, d: int, max_add: int, decode=int):
     """Shared fuzz loop: returns (model, remap_count).  `idx` needs

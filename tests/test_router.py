@@ -65,6 +65,7 @@ def routed_index():
     return idx, x
 
 
+@pytest.mark.slow
 def test_router_recall_matches_flat(routed_index):
     idx, x = routed_index
     assert idx.cfg.route_k == 256
@@ -91,6 +92,7 @@ def test_router_recall_matches_flat(routed_index):
     assert rec_routed >= rec_flat - 0.03, (rec_routed, rec_flat)
 
 
+@pytest.mark.slow
 def test_router_incremental_insert(routed_index):
     idx, x = routed_index
     # a far-out new vector must become its own routed nearest neighbour:
@@ -102,6 +104,7 @@ def test_router_incremental_insert(routed_index):
     assert (ids[:, 0] == slots).all()
 
 
+@pytest.mark.slow
 def test_router_survives_persist(tmp_path, routed_index):
     from vector_store_tpu.core import persist
 

@@ -302,3 +302,156 @@ async def test_full_pipeline_on_fake_session():
         except asyncio.CancelledError:
             pass
         await engine.close()
+
+
+# --- DriverSession: the live-driver adapter, tested against a fake
+# driver session (duck-typed — the cassandra package is not required;
+# the live handshake test below is gated on its availability) ----------
+
+
+class _FakeResponseFuture:
+    def __init__(self, rows=None, exc=None):
+        self._rows, self._exc = rows, exc
+
+    def add_callbacks(self, ok, err):
+        if self._exc is not None:
+            err(self._exc)
+        else:
+            ok(self._rows)
+
+
+class _FakeDriverSession:
+    """Mimics cassandra.cluster.Session + .cluster metadata surface."""
+
+    def __init__(self):
+        self.prepared = []
+        self.executed = []
+
+        class _Col:
+            def __init__(self, name):
+                self.name = name
+
+        class _Table:
+            def __init__(self, pk, ck):
+                self.partition_key = [_Col(c) for c in pk]
+                self.clustering_key = [_Col(c) for c in ck]
+
+        class _Ks:
+            tables = {
+                "items": _Table(("id",), ("ts",)),
+                "items_scylla_cdc_log": _Table(("id",), ()),
+            }
+
+        class _Token:
+            def __init__(self, v):
+                self.value = v
+
+        class _TokenMap:
+            ring = [_Token(-100), _Token(0), _Token(100)]
+
+        class _ShardInfo:
+            shards_count = 4
+
+        class _Host:
+            sharding_info = _ShardInfo()
+
+        class _ControlConnection:
+            @staticmethod
+            def wait_for_schema_agreement(wait_time=None):
+                return True
+
+        class _Metadata:
+            keyspaces = {"ks": _Ks()}
+            token_map = _TokenMap()
+
+            @staticmethod
+            def all_hosts():
+                return [_Host(), _Host()]
+
+        class _Cluster:
+            metadata = _Metadata()
+            control_connection = _ControlConnection()
+
+        self.cluster = _Cluster()
+
+    def prepare(self, query):
+        self.prepared.append(query)
+        return ("prepared", query)
+
+    def execute_async(self, stmt, params=None):
+        self.executed.append((stmt, params))
+        if "system.local" in str(stmt):
+            return _FakeResponseFuture(rows=[("v42",)])
+        if "boom" in str(stmt):
+            return _FakeResponseFuture(exc=RuntimeError("boom"))
+        return _FakeResponseFuture(rows=[(1, "a"), (2, "b")])
+
+
+@pytest.mark.asyncio
+async def test_driver_session_adapter():
+    from vector_store_tpu.ingest.scylla import DriverSession
+
+    fake = _FakeDriverSession()
+    s = DriverSession(fake)
+
+    # unparameterized query: no prepare, rows as tuples
+    rows = await s.execute("SELECT x FROM t")
+    assert rows == [(1, "a"), (2, "b")]
+    assert fake.prepared == []
+
+    # parameterized query: prepared once, cached across calls
+    await s.execute("SELECT x FROM t WHERE id = ?", (1,))
+    await s.execute("SELECT x FROM t WHERE id = ?", (2,))
+    assert fake.prepared == ["SELECT x FROM t WHERE id = ?"]
+    assert fake.executed[-1] == (
+        ("prepared", "SELECT x FROM t WHERE id = ?"),
+        (2,),
+    )
+
+    # driver errors propagate as exceptions
+    with pytest.raises(RuntimeError, match="boom"):
+        await s.execute("boom")
+
+    # cluster-state surface
+    assert s.ring_tokens() == [-100, 0, 100]
+    assert s.nr_shards() == 8  # 2 hosts x 4 shards
+    assert await s.await_schema_agreement() == "v42"
+    assert await s.check_schema_agreement() == "v42"
+    tables = s.keyspace_tables("ks")
+    assert tables["items"] == {
+        "partition_key": ["id"],
+        "clustering_key": ["ts"],
+    }
+    assert "items_scylla_cdc_log" in tables
+    assert s.keyspace_tables("nope") is None
+
+
+@pytest.mark.asyncio
+async def test_driver_session_through_source():
+    """The full control-plane path (is_valid_index) over the adapter."""
+    from vector_store_tpu.ingest.scylla import DriverSession, ScyllaSource
+
+    src = ScyllaSource(DriverSession(_FakeDriverSession()))
+    assert await src.is_valid_index("ks", "items")
+    assert not await src.is_valid_index("nope", "items")
+
+
+def test_connect_requires_driver():
+    """connect() raises a helpful error when the driver is absent, and a
+    live socket handshake runs when it is installed (driver-gated)."""
+    from vector_store_tpu.ingest.scylla import ScyllaSource
+
+    try:
+        import cassandra  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="cassandra/scylla driver"):
+            ScyllaSource.connect("127.0.0.1:9042")
+        return
+    import socket
+
+    with socket.socket() as probe:  # pragma: no cover — needs a cluster
+        probe.settimeout(0.5)
+        if probe.connect_ex(("127.0.0.1", 9042)) != 0:
+            pytest.skip("no scylla at 127.0.0.1:9042")
+    src = ScyllaSource.connect("127.0.0.1:9042")
+    assert asyncio.run(src.latest_schema_version()) is not None

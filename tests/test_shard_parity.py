@@ -89,6 +89,7 @@ def test_sharded_compact_remaps():
     assert ids[0] == remap[int(probe_old)]
 
 
+@pytest.mark.slow
 def test_sharded_persist_roundtrip(tmp_path):
     d = 16
     x = _data(2000, d, seed=5)
@@ -113,6 +114,7 @@ def test_sharded_persist_roundtrip(tmp_path):
     assert set(ids[:, 0]).issubset(set(more.tolist()) | set(gids.tolist()))
 
 
+@pytest.mark.slow
 def test_sharded_router_rebuild():
     """Force a sharded router build at test scale and verify recall."""
     d = 16
@@ -140,6 +142,7 @@ def test_sharded_router_rebuild():
     assert (ids[:, 0] == nid).all()
 
 
+@pytest.mark.slow
 @pytest.mark.asyncio
 async def test_sharded_compact_over_engine():
     """HTTP-level compact on a sharded index (round-1: 500 error)."""

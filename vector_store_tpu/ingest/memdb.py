@@ -133,6 +133,18 @@ class MemDb:
     async def delete_values(self, table: str, key: PrimaryKey) -> None:
         await self.insert_values(table, key, None)
 
+    def preload(self, table: str, keys, embeddings: np.ndarray) -> None:
+        """Bulk bench/test setup: load rows directly with one schema bump
+        and no per-row CDC fan-out (open streams observe the data through
+        the initial scan instead — the realistic shape of pre-existing
+        data in the reference, db_basic.rs:223-235)."""
+        tbl = self._tables[table]
+        for key, emb in zip(keys, embeddings):
+            tbl.rows[key] = _Row(
+                np.asarray(emb, np.float32), self.next_timestamp()
+            )
+        self._bump()
+
     # ------------------------------------------------------------------
     # DbSource protocol
 

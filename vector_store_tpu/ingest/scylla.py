@@ -173,6 +173,95 @@ class ScyllaSession(Protocol):
         ...
 
 
+class DriverSession:
+    """Adapts a cassandra/scylla python-driver session (duck-typed: any
+    object with `execute_async`, `prepare`, and a `cluster` carrying
+    metadata/control_connection) to the ScyllaSession protocol.
+
+    The driver is thread-pool based; responses bridge into asyncio via
+    ResponseFuture callbacks.  Statements are prepared once and cached —
+    the adapter's queries use `?` markers, which only prepared statements
+    accept (reference: db.rs:250-257 prepares its statement set up
+    front)."""
+
+    def __init__(self, session) -> None:
+        self._session = session
+        self._prepared: dict[str, object] = {}
+
+    # -- ScyllaSession protocol -------------------------------------------
+
+    async def execute(self, query: str, params: tuple = ()) -> list[tuple]:
+        loop = asyncio.get_running_loop()
+        stmt = self._prepared.get(query)
+        if stmt is None and params:
+            stmt = self._prepared[query] = await loop.run_in_executor(
+                None, self._session.prepare, query
+            )
+        fut: asyncio.Future = loop.create_future()
+        rf = self._session.execute_async(stmt or query, params or None)
+        rf.add_callbacks(
+            lambda rows: loop.call_soon_threadsafe(
+                fut.set_result, [tuple(r) for r in rows or []]
+            ),
+            lambda exc: loop.call_soon_threadsafe(fut.set_exception, exc),
+        )
+        return await fut
+
+    def ring_tokens(self) -> list[int]:
+        token_map = self._session.cluster.metadata.token_map
+        if token_map is None:
+            return []
+        return [int(t.value) for t in token_map.ring]
+
+    def nr_shards(self) -> int:
+        """Scylla exposes per-host shard counts through the driver's
+        sharding info; sum them (db_index.rs:239-252).  Hosts without it
+        (cassandra, old scylla) count as one."""
+        hosts = self._session.cluster.metadata.all_hosts()
+        total = 0
+        for h in hosts:
+            info = getattr(h, "sharding_info", None)
+            total += int(getattr(info, "shards_count", 1) or 1)
+        return max(total, 1)
+
+    async def await_schema_agreement(self) -> Optional[str]:
+        loop = asyncio.get_running_loop()
+        agreed = await loop.run_in_executor(
+            None,
+            self._session.cluster.control_connection.wait_for_schema_agreement,
+        )
+        return await self._local_schema_version() if agreed else None
+
+    async def check_schema_agreement(self) -> Optional[str]:
+        # non-blocking probe: one agreement check round (db.rs:436-440)
+        loop = asyncio.get_running_loop()
+        agreed = await loop.run_in_executor(
+            None,
+            lambda: self._session.cluster.control_connection.wait_for_schema_agreement(
+                wait_time=0
+            ),
+        )
+        return await self._local_schema_version() if agreed else None
+
+    async def _local_schema_version(self) -> Optional[str]:
+        rows = await self.execute(
+            "SELECT schema_version FROM system.local WHERE key = 'local'"
+        )
+        return str(rows[0][0]) if rows else None
+
+    def keyspace_tables(self, keyspace: str) -> Optional[dict]:
+        ks = self._session.cluster.metadata.keyspaces.get(keyspace)
+        if ks is None:
+            return None
+        return {
+            name: {
+                "partition_key": [c.name for c in t.partition_key],
+                "clustering_key": [c.name for c in t.clustering_key],
+            }
+            for name, t in ks.tables.items()
+        }
+
+
 class ScyllaSource:
     """DbSource over a ScyllaDB session (live driver or wire-level fake)."""
 
@@ -181,20 +270,24 @@ class ScyllaSource:
 
     @classmethod
     def connect(cls, uri: str) -> "ScyllaSource":  # pragma: no cover
-        """Build from a live cluster (requires the cassandra/scylla python
-        driver, absent in this build environment)."""
+        """Build from a live cluster via the cassandra/scylla python
+        driver (reference: db.rs:260-266 builds the rust-driver session).
+        `uri` is `host[:port]`."""
         try:
-            import cassandra  # noqa: F401
+            from cassandra.cluster import Cluster
         except ImportError as exc:
             raise RuntimeError(
                 "ScyllaSource.connect requires the cassandra/scylla driver; "
-                "construct ScyllaSource(session) with a session adapter, or "
-                "use MemDb/FileSource (the pipeline is source-agnostic above "
-                "the DbSource seam)"
+                "construct ScyllaSource(DriverSession(session)) with your own "
+                "session, or use MemDb/FileSource (the pipeline is source-"
+                "agnostic above the DbSource seam)"
             ) from exc
-        raise NotImplementedError(
-            "driver session adapter pending a driver-enabled environment"
+        host, _, port = uri.partition(":")
+        cluster = Cluster(
+            contact_points=[host or "127.0.0.1"],
+            port=int(port) if port else 9042,
         )
+        return cls(DriverSession(cluster.connect()))
 
     # -- control plane (db.rs) ---------------------------------------------
 

@@ -157,7 +157,7 @@ class IndexMetadata:
     params: Optional[IndexParams] = None
     version: str = ""
     key_columns: Sequence[str] = field(default_factory=tuple)
-    kind: str = "ann"  # "ann" | "text" | "exact"
+    kind: str = "ann"  # "ann" | "ivf" | "exact" | "text" | "auto" (by capacity)
 
     @property
     def id(self) -> IndexId:
