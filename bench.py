@@ -93,17 +93,17 @@ def make_dataset(n: int, d: int, q: int, seed: int = SEED):
 
         x = read_fvecs(fvecs, n, d)
         qi = rng.choice(len(x), q, replace=False)
-        queries = x[qi] + 0.05 * x[qi].std() * rng.normal(
-            size=(q, x.shape[1])
-        ).astype(np.float32)
+        queries = x[qi] + 0.05 * x[qi].std() * rng.standard_normal(
+            (q, x.shape[1]), dtype=np.float32
+        )
         return x, queries.astype(np.float32)
     n_clusters = max(n // 50, 16)
-    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
-    x = centers[rng.integers(0, n_clusters, n)] + 0.35 * rng.normal(
-        size=(n, d)
-    ).astype(np.float32)
+    centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
+    x = centers[rng.integers(0, n_clusters, n)] + 0.35 * rng.standard_normal(
+        (n, d), dtype=np.float32
+    )
     qi = rng.choice(n, q, replace=False)
-    queries = x[qi] + 0.25 * rng.normal(size=(q, d)).astype(np.float32)
+    queries = x[qi] + 0.25 * rng.standard_normal((q, d), dtype=np.float32)
     return x, queries
 
 
@@ -335,15 +335,15 @@ def bench_churn(ivf, x: np.ndarray, exact_probes: int) -> None:
     kill = rng.choice(n, n_kill, replace=False).astype(np.int64)
     t0 = time.time()
     ivf.remove(kill)
-    fresh = x[kill] + 0.1 * rng.normal(size=(n_kill, x.shape[1])).astype(
-        np.float32
+    fresh = x[kill] + 0.1 * rng.standard_normal(
+        (n_kill, x.shape[1]), dtype=np.float32
     )
     new_ids = ivf.add(fresh)
     churn_s = time.time() - t0
     qi = rng.choice(n_kill, 512, replace=False)
-    probes_q = fresh[qi] + 0.05 * rng.normal(
-        size=(512, x.shape[1])
-    ).astype(np.float32)
+    probes_q = fresh[qi] + 0.05 * rng.standard_normal(
+        (512, x.shape[1]), dtype=np.float32
+    )
 
     _, gt = ivf.exact_search(probes_q, K)
     _, got = ivf.search(probes_q, K, probes=exact_probes)
@@ -382,7 +382,7 @@ def bench_serving_latency() -> None:
         from vector_store_tpu.engine.engine import new_engine
 
         rng = np.random.default_rng(3)
-        x = rng.normal(size=(n_serve, D)).astype(np.float32)
+        x = rng.standard_normal((n_serve, D), dtype=np.float32)
         centers = x[:64]
         x = centers[rng.integers(0, 64, n_serve)] + 0.35 * x
 
@@ -426,7 +426,7 @@ def bench_serving_latency() -> None:
 
                 qs = (
                     x[rng.integers(0, n_serve, 512)]
-                    + 0.1 * rng.normal(size=(512, D)).astype(np.float32)
+                    + 0.1 * rng.standard_normal((512, D), dtype=np.float32)
                 ).tolist()
 
                 async def one(i: int) -> float:
@@ -592,7 +592,7 @@ def bench_real_data(timer) -> None:
     rng = np.random.default_rng(9)
     qi = rng.choice(len(x), 256, replace=False)
     queries = (
-        x[qi] + 0.05 * rng.normal(size=(256, 128)).astype(np.float32)
+        x[qi] + 0.05 * rng.standard_normal((256, 128), dtype=np.float32)
     ).astype(np.float32)
 
     n, d = x.shape
@@ -653,7 +653,7 @@ def bench_ingest_pipeline() -> None:
         db.preload(
             "vectors",
             [(i,) for i in range(n_ing)],
-            rng.normal(size=(n_ing, d)).astype(np.float32),
+            rng.standard_normal((n_ing, d), dtype=np.float32),
         )
         meta = db.add_index(
             "ks.stream",

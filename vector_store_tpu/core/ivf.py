@@ -49,6 +49,9 @@ SPILL = 4
 # transient).
 QCHUNK = 256
 PROBE_DEFAULT = 16
+# Largest k served by the fused pallas kernel (its top-k is k unrolled
+# extract-min sweeps — linear in k; beyond this the XLA path wins).
+FUSED_MAX_K = 32
 # Probed clusters scored per scan step: the gather transient is
 # [Q, PROBE_GROUP, B, D] — big enough to keep the MXU fed, small enough
 # that probes=64 at 1M×768 stays ~650MB instead of the 8GB that one
@@ -1020,7 +1023,11 @@ class IvfIndex:
         with self._lock:
             state = self._state
             clustered = self._clustered
-            fused = clustered and self._fused_ok()
+            # the fused kernel's on-chip top-k is k serial extract-min
+            # sweeps over the [QG, p*B] pool (ivf_pallas._kernel) — ideal
+            # at serving k but O(k) in vector ops, so large-k requests
+            # take the XLA path whose top_k is logarithmic
+            fused = clustered and k <= FUSED_MAX_K and self._fused_ok()
             for off in range(0, n, QCHUNK):
                 blk = queries[off : off + QCHUNK]
                 m = len(blk)
