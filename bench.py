@@ -39,7 +39,9 @@ import dataclasses
 import gc
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -73,6 +75,67 @@ def log(msg: str) -> None:
     print(f"[{time.time() - T_START:5.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
+# -- headline safety net ----------------------------------------------------
+# Every measured (name, qps, recall) lands in CANDIDATES the moment it
+# exists.  A remote-TPU dispatch can wedge for many minutes (observed: a
+# tunnel stall froze the main thread mid-phase with zero CPU), and a
+# signal handler cannot run while the main thread is blocked inside a C
+# call — so a WATCHDOG THREAD force-prints the best recall-clearing
+# candidate once the budget expires and hard-exits 0.  SIGTERM (what
+# `timeout` sends) gets the same treatment for the case where the main
+# thread is still responsive.
+
+CANDIDATES: list[tuple[str, float, float]] = []
+_HEADLINE_DONE = threading.Event()
+
+
+def print_headline(vs_baseline: float | None = None) -> None:
+    """Print the ONE headline JSON line from the best eligible candidate
+    (idempotent; thread-safe via the event)."""
+    if _HEADLINE_DONE.is_set():
+        return
+    eligible = [c for c in CANDIDATES if c[2] >= TARGET_RECALL]
+    if not eligible:
+        return
+    _HEADLINE_DONE.set()
+    name, qps, rec = max(eligible, key=lambda c: c[1])
+    vs = vs_baseline if vs_baseline is not None else 0.0
+    log(f"# headline[{name}]: qps={qps:.0f} recall={rec:.3f} vs_cpu={vs:.1f}x")
+    print(
+        json.dumps(
+            {
+                "metric": f"QPS/chip at recall@10>={TARGET_RECALL} ({N}x{D}-d cosine)",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(vs, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _watchdog() -> None:
+    """Emergency headline: if the budget is gone and the main thread is
+    stuck in a wedged device call, emit the best number we have and exit
+    cleanly rather than dying headline-less at the driver's timeout."""
+    while True:
+        time.sleep(15)
+        if _HEADLINE_DONE.is_set():
+            return  # normal path printed it; extras may continue freely
+        if remaining() < -30 and CANDIDATES:
+            print_headline()
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
+
+
+def _on_term(signum, frame):  # noqa: ANN001 — signal signature
+    if not _HEADLINE_DONE.is_set() and CANDIDATES:
+        print_headline()
+        sys.stdout.flush()
+    os._exit(0 if _HEADLINE_DONE.is_set() else 124)
+
+
 def remaining() -> float:
     return BUDGET_S - (time.time() - T_START)
 
@@ -85,7 +148,15 @@ def fits(est_s: float, phase: str) -> bool:
 
 
 def make_dataset(n: int, d: int, q: int, seed: int = SEED):
-    """Deterministic clustered corpus + in-distribution queries."""
+    """Deterministic clustered corpus + in-distribution queries.
+
+    The corpus is generated ON DEVICE in row chunks (this host has one
+    slow core — numpy standard_normal runs ~8M floats/s, which is ~100 s
+    of budget at 1M x 768; the chip generates the same chunk in ms and
+    one readback stream brings it home), and cached to /tmp so a re-run
+    with the same shape pays only the disk read.  jax threefry PRNG is
+    backend-invariant, so CPU smoke runs and chip runs see identical
+    data."""
     fvecs = os.environ.get("VST_BENCH_FVECS")
     rng = np.random.default_rng(seed)
     if fvecs:
@@ -97,14 +168,60 @@ def make_dataset(n: int, d: int, q: int, seed: int = SEED):
             (q, x.shape[1]), dtype=np.float32
         )
         return x, queries.astype(np.float32)
-    n_clusters = max(n // 50, 16)
-    centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
-    x = centers[rng.integers(0, n_clusters, n)] + 0.35 * rng.standard_normal(
-        (n, d), dtype=np.float32
-    )
+
+    cache = f"/tmp/vst_bench_{n}x{d}_s{seed}.npy"
+    if os.path.exists(cache):
+        x = np.load(cache, mmap_mode=None)
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        n_clusters = max(n // 50, 16)
+        key = jax.random.PRNGKey(seed)
+        centers = jax.random.normal(
+            jax.random.fold_in(key, 0), (n_clusters, d), jnp.float32
+        )
+        CH = min(n, 1 << 17)
+
+        @jax.jit
+        def gen_chunk(k, centers):
+            ka, kn = jax.random.split(k)
+            assign = jax.random.randint(ka, (CH,), 0, n_clusters)
+            return jnp.take(centers, assign, axis=0) + 0.35 * jax.random.normal(
+                kn, (CH, d), jnp.float32
+            )
+
+        parts = []
+        for i, off in enumerate(range(0, n, CH)):
+            blk = gen_chunk(jax.random.fold_in(key, 1 + i), centers)
+            parts.append(jax.device_get(blk)[: min(CH, n - off)])
+        x = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        try:
+            np.save(cache, x)
+        except OSError:
+            pass  # no space: regenerate next time
     qi = rng.choice(n, q, replace=False)
     queries = x[qi] + 0.25 * rng.standard_normal((q, d), dtype=np.float32)
     return x, queries
+
+
+def add_with_progress(idx, x: np.ndarray, label: str) -> float:
+    """idx.add(x) in slices with a rate line per slice — an ingest that
+    degrades (tunnel backpressure, HBM pressure) shows up in the log
+    tail instead of looking like a silent wedge.  Returns vec/s."""
+    n = len(x)
+    t0 = time.time()
+    step = 1 << 17
+    for off in range(0, n, step):
+        idx.add(x[off : off + step])
+        done = min(off + step, n)
+        if done < n:
+            log(
+                f"#   {label} ingest {done}/{n}: "
+                f"{done / (time.time() - t0):.0f} vec/s"
+            )
+    dt = time.time() - t0
+    return n / dt
 
 
 def recall_of(ids: np.ndarray, exact: np.ndarray) -> float:
@@ -185,9 +302,8 @@ def bench_exact_scan(x, queries, timer):
         initial_capacity=cap,
         exact=True,
     )
-    t0 = time.time()
-    exact_idx.add(x)
-    log(f"# scan ingest: {n / (time.time() - t0):.0f} vec/s")
+    rate = add_with_progress(exact_idx, x, "scan")
+    log(f"# scan ingest: {rate:.0f} vec/s")
 
     state = exact_idx.state
     qp_f32 = dist_mod.preprocess(jnp.asarray(queries), "cosine").astype(
@@ -208,6 +324,9 @@ def bench_exact_scan(x, queries, timer):
     out = bruteforce.search(qp_vars[0], state.vectors, state.valid, "cosine", K)
     scan_rec = recall_of(np.asarray(out[1]), exact)
     log(f"# scan: recall@10={scan_rec:.3f} qps={scan_qps:.0f}")
+    if scan_rec >= TARGET_RECALL:
+        # the watchdog can now emit a headline even if a later phase wedges
+        CANDIDATES.append(("exact-scan", scan_qps, scan_rec))
 
     # device-latency floor: single batch-8 dispatch, host roundtrip incl
     try:
@@ -252,6 +371,9 @@ def bench_ivf(x, queries, exact, timer, fused_ok):
         IndexParams(dimensions=d, space="cosine", dtype="int8"),
         initial_capacity=n,
     )
+    # single add(): slicing would change the recluster cadence (one
+    # recluster at the end vs one per slice + growth doublings); the
+    # staging path ships bf16 and syncs its own queue every ~100MB
     t0 = time.time()
     ivf.add(x)
     log(
@@ -308,6 +430,8 @@ def bench_ivf(x, queries, exact, timer, fused_ok):
                 if fused_qps > qps:
                     qps, name = fused_qps, f"ivf-fused-p{probes}"
         log(line)
+        if rec >= TARGET_RECALL:
+            CANDIDATES.append((name, qps, rec))
         if best_ivf is None or (
             rec >= TARGET_RECALL
             and (best_ivf[2] < TARGET_RECALL or qps > best_ivf[1])
@@ -548,9 +672,8 @@ def bench_scan_int8(x, queries, exact, timer) -> None:
         initial_capacity=cap,
         exact=True,
     )
-    t0 = time.time()
-    i8_idx.add(x)
-    log(f"# scan-int8 ingest: {n / (time.time() - t0):.0f} vec/s")
+    rate = add_with_progress(i8_idx, x, "scan-int8")
+    log(f"# scan-int8 ingest: {rate:.0f} vec/s")
     s8 = i8_idx.state
     qp = dist_mod.preprocess(jnp.asarray(queries), "cosine").astype(
         i8_idx.cfg.compute_dtype
@@ -735,44 +858,29 @@ def cpu_baseline_qps(x, queries) -> float:
 
 def main() -> None:
     log(f"# bench: N={N} D={D} Q={Q} budget={BUDGET_S:.0f}s")
+    signal.signal(signal.SIGTERM, _on_term)
+    threading.Thread(target=_watchdog, daemon=True, name="headline-watchdog").start()
     x, queries = make_dataset(N, D, Q)
     timer = DeviceTimer()
-    candidates = []
 
     # the fused-vs-XLA parity gate runs inside the IVF phase, on the
     # first rung where both kernels are compiled anyway
     fused_ok = True
 
     # 2. exact scan: ground truth + fallback candidate
-    exact, exact_idx, scan_cand = bench_exact_scan(x, queries, timer)
-    if scan_cand:
-        candidates.append(scan_cand)
+    exact, exact_idx, _scan_cand = bench_exact_scan(x, queries, timer)
 
     # 3. IVF int8 — the headline candidate
     ivf, rest_probes = None, ()
     try:
-        ivf_cand, ivf, rest_probes = bench_ivf(x, queries, exact, timer, fused_ok)
-        if ivf_cand:
-            candidates.append(ivf_cand)
+        _ivf_cand, ivf, rest_probes = bench_ivf(x, queries, exact, timer, fused_ok)
     except Exception as exc:  # noqa: BLE001
         log(f"# ivf phase failed: {exc!r}")
 
     # -> HEADLINE, printed the moment a recall>=0.95 number exists
-    name, qps, rec = max(candidates, key=lambda c: c[1])
+    best_qps = max((c[1] for c in CANDIDATES if c[2] >= TARGET_RECALL), default=0.0)
     base_qps = cpu_baseline_qps(x, queries)
-    vs = qps / base_qps if base_qps else 0.0
-    log(f"# headline[{name}]: qps={qps:.0f} recall={rec:.3f} vs_cpu={vs:.1f}x")
-    print(
-        json.dumps(
-            {
-                "metric": f"QPS/chip at recall@10>={TARGET_RECALL} ({N}x{D}-d cosine)",
-                "value": round(qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(vs, 2),
-            }
-        ),
-        flush=True,
-    )
+    print_headline(best_qps / base_qps if base_qps else 0.0)
     if LITE:
         return
 

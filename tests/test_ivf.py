@@ -92,6 +92,24 @@ def test_clustered_recall(clustered_ivf):
     assert _recall(got, exact) >= 0.9
 
 
+def test_large_k_routes_to_xla_path(clustered_ivf):
+    """k above FUSED_MAX_K must bypass the fused kernel (its top-k is k
+    serial extract-min sweeps) and still return exact-consistent results
+    through the XLA path."""
+    from vector_store_tpu.core.ivf import FUSED_MAX_K
+
+    idx, x = clustered_ivf
+    k = FUSED_MAX_K + 18
+    rng = np.random.default_rng(6)
+    qi = rng.choice(len(x), 16, replace=False)
+    dist, got = idx.search(x[qi], k, probes=32)
+    assert got.shape == (16, k)
+    # top-1 must be the query row itself; distances ascending
+    assert (got[:, 0] == qi).all()
+    finite = np.isfinite(dist)
+    assert (np.diff(np.where(finite, dist, np.inf), axis=1) >= -1e-6).all()
+
+
 def test_ids_stable_across_recluster(clustered_ivf):
     """Reclustering (and compact) must never invalidate issued ids."""
     idx, x = clustered_ivf

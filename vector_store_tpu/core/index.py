@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import threading
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -200,7 +201,14 @@ class SlotIndex:
                 import ml_dtypes
 
                 vectors = vectors.astype(ml_dtypes.bfloat16)
-            for off in range(0, n, block):
+            # Bound the async dispatch queue: a long unsynced run of
+            # host->device blocks can back up the transfer link (observed
+            # on the tunneled backend: hundreds of queued 12MB transfers
+            # degraded to ~3MB/s; bounded inflight restores line rate).
+            # ~100MB of blocks per sync keeps transfer/compute overlap.
+            blk_bytes = block * d * vectors.dtype.itemsize
+            sync_every = max(1, (100 << 20) // max(blk_bytes, 1))
+            for i, off in enumerate(range(0, n, block)):
                 blk = vectors[off : off + block]
                 m = blk.shape[0]
                 live = np.zeros((block,), dtype=bool)
@@ -214,6 +222,8 @@ class SlotIndex:
                     jnp.asarray(live),
                     self.cfg,
                 )
+                if (i + 1) % sync_every == 0:
+                    jax.block_until_ready(self._state.size)
                 self._maybe_rebuild_router_locked(base + off + m)
             # End-of-call staleness bound: the in-loop policy rebuilds at
             # doubling, so a bulk load can finish with up to half the
@@ -378,8 +388,11 @@ class SlotIndex:
                 dist, ids = search.search(state, jnp.asarray(queries), self.cfg, k)
             # Materialise before releasing the lock: a later insert donates
             # these buffers, so the computation must be complete first.
-            dist = np.asarray(dist[:n])
-            ids = np.asarray(ids[:n]).astype(np.int64)
+            # One pipelined fetch for both arrays — device_get issues the
+            # host copies async before blocking, so a high-latency link
+            # (tunnel/PCIe) is paid once, not once per array.
+            dist, ids = jax.device_get((dist[:n], ids[:n]))
+            ids = ids.astype(np.int64)
         ids[~np.isfinite(dist)] = -1
         if single:
             return dist[0], ids[0]

@@ -596,14 +596,21 @@ class IvfIndex:
                 self._next_rowid, self._next_rowid + n, dtype=np.int64
             )
             self._next_rowid += n
-            chunk = 16384  # per-dispatch ingest block (48MB f32 transient)
-            for off in range(0, n, chunk):
+            # per-dispatch ingest block: ~12MB shipped (the tunnel/PCIe
+            # throughput sweet spot — bigger transfers measured slower
+            # per byte), with the dispatch queue synced every ~100MB so
+            # a long ingest cannot back up the link (core/index.py has
+            # the same discipline)
+            chunk = 8192
+            for i, off in enumerate(range(0, n, chunk)):
                 blk = vectors[off : off + chunk]
                 rid = rowids[off : off + chunk]
                 if self._clustered:
                     self._add_clustered(blk, rid)
                 else:
                     self._add_staging(blk, rid)
+                if (i + 1) % 8 == 0:
+                    jax.block_until_ready(self._state.valid)
             self._n_live += n
             self._maybe_recluster()
         return rowids
@@ -1047,10 +1054,15 @@ class IvfIndex:
                     )
                 else:
                     dd, ii = search_flat(state, jnp.asarray(blk), self.space, k)
-                outs_d.append(np.asarray(dd[:m]))
-                outs_i.append(np.asarray(ii[:m]).astype(np.int64))
+                outs_d.append(dd[:m])
+                outs_i.append(ii[:m])
+            # all chunk dispatches are in flight — fetch everything in one
+            # pipelined device_get (async host copies issued up front), so
+            # a high-latency link is paid once, not 2x per chunk.  Must
+            # happen under the lock: a later insert donates these buffers.
+            outs_d, outs_i = jax.device_get((outs_d, outs_i))
         dist = np.concatenate(outs_d)
-        ids = np.concatenate(outs_i)
+        ids = np.concatenate(outs_i).astype(np.int64)
         ids[~np.isfinite(dist)] = -1
         if single:
             return dist[0], ids[0]
@@ -1156,7 +1168,8 @@ class IvfIndex:
             d, i = search_flat(
                 self._state, jnp.asarray(queries), self.space, k, approx=False
             )
-        d, i = np.asarray(d), np.asarray(i).astype(np.int64)
+        d, i = jax.device_get((d, i))
+        i = i.astype(np.int64)
         i[~np.isfinite(d)] = -1
         if single:
             return d[0], i[0]

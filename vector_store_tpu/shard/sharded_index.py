@@ -548,8 +548,10 @@ class ShardedSlotIndex:
             dist, ids = _sharded_search(
                 self._state, qp, self.cfg, k, self._holder, exact=self._exact
             )
-            dist = np.asarray(dist[:n])
-            ids = np.asarray(ids[:n]).astype(np.int64)
+            # one pipelined fetch for both arrays (async host copies
+            # issued up front) — a high-latency link is paid once
+            dist, ids = jax.device_get((dist[:n], ids[:n]))
+            ids = ids.astype(np.int64)
         ids[~np.isfinite(dist)] = -1
         if single:
             return dist[0], ids[0]

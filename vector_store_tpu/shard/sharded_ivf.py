@@ -787,10 +787,13 @@ class ShardedIvfIndex:
                     mode,
                     self._holder,
                 )
-                outs_d.append(np.asarray(dd[:m]))
-                outs_i.append(np.asarray(ii[:m]).astype(np.int64))
+                outs_d.append(dd[:m])
+                outs_i.append(ii[:m])
+            # all chunk dispatches in flight — one pipelined fetch for
+            # everything, under the lock (a later insert donates buffers)
+            outs_d, outs_i = jax.device_get((outs_d, outs_i))
         dist = np.concatenate(outs_d)
-        ids = np.concatenate(outs_i)
+        ids = np.concatenate(outs_i).astype(np.int64)
         ids[~np.isfinite(dist)] = -1
         if single:
             return dist[0], ids[0]

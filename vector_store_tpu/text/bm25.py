@@ -308,7 +308,7 @@ class BM25Index:
             k_fetch,
             use_ops=use_ops,
         )
-        scores, ids = np.asarray(scores), np.asarray(ids)
+        scores, ids = jax.device_get((scores, ids))
         out = []
         for j in range(Q):
             p = parsed[j]
