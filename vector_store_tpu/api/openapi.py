@@ -288,6 +288,16 @@ def openapi_spec() -> dict:
                     "responses": {"200": {"description": "ok"}},
                 }
             },
+            "/metrics": {
+                "get": {
+                    "description": (
+                        "Prometheus text exposition: HTTP request "
+                        "counts/latency plus per-index query and upsert "
+                        "counters"
+                    ),
+                    "responses": {"200": {"description": "metrics text"}},
+                }
+            },
         },
     }
 

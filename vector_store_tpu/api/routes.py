@@ -27,12 +27,14 @@ Plus OpenAPI JSON at /api-docs/openapi.json and a Swagger UI page at
 from __future__ import annotations
 
 import logging
+import time
 
 import numpy as np
 from aiohttp import web
 
 from ..engine.engine import EngineHandle
 from ..types import IndexId, IndexMetadata, IndexParams, Limit
+from ..utils import metrics
 from .openapi import openapi_spec, swagger_html
 
 log = logging.getLogger("vst.http")
@@ -293,6 +295,41 @@ async def healthz(request: web.Request) -> web.Response:
     return web.json_response({"status": "ok"})
 
 
+async def get_metrics(request: web.Request) -> web.Response:
+    """Prometheus text exposition (beyond the reference, which has no
+    metrics surface at all — SURVEY §5)."""
+    return web.Response(text=metrics.render(), content_type="text/plain")
+
+
+@web.middleware
+async def _metrics_middleware(request: web.Request, handler):
+    t0 = time.time()
+    status = 500
+    try:
+        resp = await handler(request)
+        status = resp.status
+        return resp
+    except web.HTTPException as exc:
+        status = exc.status
+        raise
+    finally:
+        route = (
+            request.match_info.route.resource.canonical
+            if request.match_info.route.resource is not None
+            else request.path
+        )
+        if route not in ("/metrics", "/healthz"):
+            metrics.counter(
+                "vst_http_requests_total",
+                method=request.method,
+                route=route,
+                status=str(status),
+            ).inc()
+            metrics.histogram(
+                "vst_http_request_seconds", method=request.method, route=route
+            ).observe(time.time() - t0)
+
+
 async def get_openapi(request: web.Request) -> web.Response:
     return web.json_response(openapi_spec())
 
@@ -302,7 +339,7 @@ async def get_swagger(request: web.Request) -> web.Response:
 
 
 def build_app(engine: EngineHandle) -> web.Application:
-    app = web.Application()
+    app = web.Application(middlewares=[_metrics_middleware])
     app["engine"] = engine
     app.add_routes(
         [
@@ -320,6 +357,7 @@ def build_app(engine: EngineHandle) -> web.Application:
             web.post("/api/v1/indexes/{keyspace}/{index}/remove", post_ann_remove),
             web.post("/api/v1/indexes/{keyspace}/{index}/compact", post_compact),
             web.get("/healthz", healthz),
+            web.get("/metrics", get_metrics),
             web.get("/api-docs/openapi.json", get_openapi),
             web.get("/swagger-ui", get_swagger),
         ]

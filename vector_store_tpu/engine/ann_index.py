@@ -36,6 +36,7 @@ from .actor import (
     Search,
     spawn_index_actor,
 )
+from ..utils import metrics
 from .batcher import MicroBatcher
 from .keymap import KeyMap
 
@@ -113,7 +114,13 @@ class AnnIndexBackend:
         """items: [(embedding, k)] → [(keys, distances)] per item."""
         k_max = max(k for _, k in items)
         queries = np.stack([e for e, _ in items])  # always 2-D → 2-D results
-        dist, slots = self.index.search(queries, k_max)
+        metrics.counter("vst_ann_queries_total", index=str(self.index_id)).inc(
+            len(items)
+        )
+        with metrics.timed(
+            "vst_ann_batch_seconds", backend=type(self.index).__name__
+        ):
+            dist, slots = self.index.search(queries, k_max)
         out = []
         for j, (_, k) in enumerate(items):
             keys, dists = [], []
@@ -138,6 +145,9 @@ class AnnIndexBackend:
             except TypeError as exc:
                 raise ValueError(f"unusable primary key {key!r}: {exc}") from exc
         vecs = np.stack([v for _, v in batch])
+        metrics.counter("vst_ann_upserts_total", index=str(self.index_id)).inc(
+            len(batch)
+        )
         slots = self.index.add(vecs)
         dead = []
         for (key, _), slot in zip(batch, slots):
