@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Sweep the fused probe-scan kernel's (qg, nbuf) on the real chip.
+
+qg = queries per grid step, nbuf = DMA ring depth.  Finds the fastest
+geometry for the headline dispatch shape (1024 queries, probes=4,
+k=10, int8 1M x 768).  Usage:
+    python scripts/probe_fused_sweep.py [N] [probes...]
+Caches the built index in /tmp so re-runs skip the build.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+PROBES = [int(a) for a in sys.argv[2:]] or [4]
+D, Q, K = 768, 1024, 10
+
+from bench import make_dataset, recall_of  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf import IvfIndex
+    from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+    from vector_store_tpu.types import IndexParams
+
+    print(f"# devices: {jax.devices()}", flush=True)
+    x, queries = make_dataset(N, D, 2048)
+    queries = queries[:Q]
+    snap = f"/tmp/vst_ivf_{N}_int8.npz"
+    if os.path.exists(snap):
+        t0 = time.time()
+        idx = IvfIndex.load(snap)
+        print(f"# restored in {time.time() - t0:.0f}s "
+              f"clusters={idx.n_clusters} bucket={idx.state.bucket}", flush=True)
+    else:
+        idx = IvfIndex(
+            IndexParams(dimensions=D, space="cosine", dtype="int8"),
+            initial_capacity=N,
+        )
+        t0 = time.time()
+        idx.add(x)
+        print(f"# build: {N / (time.time() - t0):.0f} vec/s "
+              f"clusters={idx.n_clusters} bucket={idx.state.bucket}", flush=True)
+        idx.save(snap)
+    _, exact = idx.exact_search(queries, K)
+    st = idx.state
+    B = int(st.bucket)
+    qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(8)]
+
+    for p in PROBES:
+        base_r = None
+        for qg in (8, 16, 32):
+            for nbuf in (2, 4, 8):
+                # VMEM: nbuf*B*D bytes (int8) + qg*p*B*4
+                vmem = nbuf * B * D + qg * p * B * 4
+                if vmem > 12 * 2**20:
+                    print(f"#  qg={qg} nbuf={nbuf}: skip (vmem {vmem>>20}MB)",
+                          flush=True)
+                    continue
+                try:
+                    d_, i_ = search_clustered_fused(
+                        st, qdev[0], "cosine", K, p, qg=qg, nbuf=nbuf
+                    )
+                    jax.block_until_ready(i_)
+                    if base_r is None:
+                        base_r = recall_of(np.asarray(i_), exact)
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.time()
+                        outs = [
+                            search_clustered_fused(
+                                st, qdev[r], "cosine", K, p, qg=qg, nbuf=nbuf
+                            )[0]
+                            for r in range(8)
+                        ]
+                        jax.block_until_ready(outs)
+                        best = min(best, (time.time() - t0) / 8)
+                    qps = Q / best
+                    gbs = Q * p * B * D / best / 1e9
+                    print(f"#  p={p} qg={qg} nbuf={nbuf}: qps={qps:.0f} "
+                          f"dma={gbs:.0f}GB/s", flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"#  p={p} qg={qg} nbuf={nbuf}: FAIL {type(e).__name__}: "
+                          f"{str(e)[:120]}", flush=True)
+        print(f"# p={p} recall@10={base_r:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -123,3 +123,27 @@ def test_fused_wrapper_matches(monkeypatch):
     d_f, r_f = search_clustered_fused(st, q, "cosine", 5, 8, interpret=True)
     d_x, r_x = search_clustered(st, q, "cosine", 5, 8)
     assert (np.asarray(r_f) == np.asarray(r_x)).all()
+
+
+@pytest.mark.parametrize("qg,nbuf", [(16, 4), (8, 8), (16, 2)])
+def test_fused_geometry_invariant(qg, nbuf):
+    """Results must not depend on the (qg, nbuf) kernel geometry — the
+    query-group size and DMA ring depth are pure performance knobs."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+
+    d = 128
+    x = _clustered(6000, d, seed=7)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine"), cluster_min=4000
+    )
+    idx.add(x)
+    st = idx.state
+    q = jnp.asarray(x[:16])
+    d_ref, r_ref = search_clustered_fused(st, q, "cosine", 5, 8, interpret=True)
+    d_g, r_g = search_clustered_fused(
+        st, q, "cosine", 5, 8, interpret=True, qg=qg, nbuf=nbuf
+    )
+    assert (np.asarray(r_g) == np.asarray(r_ref)).all()
+    np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_ref))

@@ -52,27 +52,35 @@ INF = float("inf")
 SENTINEL = 2**31 - 1
 
 QG = 8  # queries per grid step (sublane-aligned block)
+# DMA ring depth: how many probe blocks are in flight at once.  Depth 2
+# is classic double-buffering; deeper rings hide DMA issue latency when
+# the per-block score time is shorter than the copy (VMEM cost is
+# NBUF * B * D storage bytes).
+NBUF = 4
 
 
 def _kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r, *,
-            p: int, k: int, space: str, quantized: bool):
+            p: int, k: int, space: str, quantized: bool, qg: int = QG,
+            nbuf: int = NBUF):
     B = vec_hbm.shape[1]
     gi = pl.program_id(0)
 
     def body(vbuf, cand_d, sems):
         def dma(slot, l, r):
-            c = cids_ref[gi * QG + l, r]
+            c = cids_ref[gi * qg + l, r]
             return pltpu.make_async_copy(
                 vec_hbm.at[c], vbuf.at[slot], sems.at[slot]
             )
 
-        steps = [(l, r) for l in range(QG) for r in range(p)]
-        dma(0, *steps[0]).start()
+        steps = [(l, r) for l in range(qg) for r in range(p)]
+        depth = min(nbuf, len(steps))
+        for s in range(depth - 1):
+            dma(s % nbuf, *steps[s]).start()
 
         for s, (l, r) in enumerate(steps):
-            slot = s % 2
-            if s + 1 < len(steps):
-                dma((s + 1) % 2, *steps[s + 1]).start()
+            slot = s % nbuf
+            if s + depth - 1 < len(steps):
+                dma((s + depth - 1) % nbuf, *steps[s + depth - 1]).start()
             dma(slot, l, r).wait()
 
             x = vbuf[slot].astype(jnp.float32)  # [B, D]
@@ -99,8 +107,8 @@ def _kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r, *,
         # k extract-min passes per query over the pooled candidates —
         # also unrolled (k is static); outputs assembled as values and
         # stored once as full blocks
-        pool = cand_d[:, :]  # [QG, p*B]
-        rids = rid_ref[0].reshape(QG, p * B)
+        pool = cand_d[:, :]  # [qg, p*B]
+        rids = rid_ref[0].reshape(qg, p * B)
         lane = jax.lax.broadcasted_iota(jnp.int32, pool.shape, 1)
         outs_d, outs_r = [], []
         for _ in range(k):
@@ -116,70 +124,74 @@ def _kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r, *,
 
     pl.run_scoped(
         body,
-        vbuf=pltpu.VMEM((2, B, vec_hbm.shape[2]), vec_hbm.dtype),
-        cand_d=pltpu.VMEM((QG, p * B), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((2,)),
+        vbuf=pltpu.VMEM((nbuf, B, vec_hbm.shape[2]), vec_hbm.dtype),
+        cand_d=pltpu.VMEM((qg, p * B), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((nbuf,)),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("space", "k", "probes", "quantized", "interpret"),
+    static_argnames=(
+        "space", "k", "probes", "quantized", "interpret", "qg", "nbuf"
+    ),
 )
 def search_fused(
     vectors: jnp.ndarray,  # [K, B, D] storage dtype
     scales: jnp.ndarray,  # [K, B] f32
     rowid_masked: jnp.ndarray,  # [K, B] i32, SENTINEL where dead
-    queries_prep: jnp.ndarray,  # [Q, D] f32 preprocessed, Q % 8 == 0
+    queries_prep: jnp.ndarray,  # [Q, D] f32 preprocessed, Q % qg == 0
     cids: jnp.ndarray,  # [Q, p] i32 probed clusters
     space: str,
     k: int,
     probes: int,
     quantized: bool,
     interpret: bool = False,
+    qg: int = QG,
+    nbuf: int = NBUF,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     Q, D = queries_prep.shape
-    if Q % QG:
-        raise ValueError(f"query batch must be a multiple of {QG}, got {Q}")
+    if Q % qg:
+        raise ValueError(f"query batch must be a multiple of {qg}, got {Q}")
     p = probes
     B = vectors.shape[1]
 
     # pre-gather the 2-lane side arrays per probe (XLA gather; <1% of the
     # vector-block bytes) and group them to match the grid blocks
-    scl_g = jnp.take(scales, cids, axis=0).reshape(Q // QG, QG, p, B)
-    rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // QG, QG, p, B)
+    scl_g = jnp.take(scales, cids, axis=0).reshape(Q // qg, qg, p, B)
+    rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // qg, qg, p, B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Q // QG,),
+        grid=(Q // qg,),
         in_specs=[
             pl.BlockSpec(
-                (QG, D), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+                (qg, D), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
             ),
             # the vector bank MUST stay in HBM (it is the stream source)
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (1, QG, p, B),
+                (1, qg, p, B),
                 lambda g, cids: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, QG, p, B),
+                (1, qg, p, B),
                 lambda g, cids: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (QG, k), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+                (qg, k), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (QG, k), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+                (qg, k), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
             ),
         ],
     )
     kern = functools.partial(
-        _kernel, p=p, k=k, space=space, quantized=quantized
+        _kernel, p=p, k=k, space=space, quantized=quantized, qg=qg, nbuf=nbuf
     )
     return pl.pallas_call(
         kern,
@@ -193,15 +205,18 @@ def search_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("space", "k", "probes", "interpret")
+    jax.jit,
+    static_argnames=("space", "k", "probes", "interpret", "qg", "nbuf"),
 )
 def search_clustered_fused(
     state,  # IvfState pytree
-    queries: jnp.ndarray,  # [Q, D] raw f32, Q % 8 == 0
+    queries: jnp.ndarray,  # [Q, D] raw f32, Q % qg == 0
     space: str,
     k: int,
     probes: int,
     interpret: bool = False,
+    qg: int = QG,
+    nbuf: int = NBUF,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One-dispatch fused clustered search: preprocess + centroid route +
     fused probe-scan kernel.  Same contract as ivf.search_clustered."""
@@ -228,4 +243,6 @@ def search_clustered_fused(
         p,
         quantized=state.vectors.dtype == jnp.int8,
         interpret=interpret,
+        qg=qg,
+        nbuf=nbuf,
     )
