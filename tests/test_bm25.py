@@ -134,3 +134,61 @@ def test_bm25_incremental_updates_visible():
     idx.remove(s)
     hits = idx.search(["fox"], 3)[0]
     assert hits[0][0] == 0 and all(h[0] != s for h in hits)
+
+
+def test_simple_query_string_full_grammar():
+    """Parens, prefix `*`, fuzziness `~N`, phrase slop `~N`, infix ops
+    (reference surface: src/index/opensearch.rs:181-194)."""
+    idx = BM25Index()
+    s0 = idx.add("the quick brown fox jumps over the lazy dog")
+    s1 = idx.add("a quick brown cat sleeps all day")
+    s2 = idx.add("the brown bear eats quick salmon")
+    s3 = idx.add("foxtrot dancing lessons downtown")
+
+    # prefix: fox* matches fox and foxtrot
+    got = {h[0] for h in idx.search(["fox*"], 5)[0]}
+    assert got == {s0, s3}
+
+    # fuzzy: cet~1 matches cat
+    got = {h[0] for h in idx.search(["cet~1"], 5)[0]}
+    assert got == {s1}
+
+    # parens with infix ops: (cat | salmon) + brown
+    got = {h[0] for h in idx.search(["(cat | salmon) + brown"], 5)[0]}
+    assert got == {s1, s2}
+
+    # grouped negation
+    got = {h[0] for h in idx.search(["brown -(cat | salmon)"], 5)[0]}
+    assert got == {s0}
+
+    # phrase slop: "quick fox"~1 matches s0? no — quick..fox gap is 1
+    # ("quick brown fox": one token between) so slop 1 admits it
+    got = {h[0] for h in idx.search(['"quick fox"~1'], 5)[0]}
+    assert got == {s0}
+    got = {h[0] for h in idx.search(['"quick fox"'], 5)[0]}
+    assert got == set()
+
+    # infix AND binds into OR left-associatively: a + b | c
+    got = {h[0] for h in idx.search(["bear + salmon | foxtrot"], 5)[0]}
+    assert got == {s2, s3}
+
+
+def test_parser_flat_vs_ast():
+    """Old-subset queries stay on the flat device-mask path; new syntax
+    produces an AST."""
+    from vector_store_tpu.text import query as query_mod
+
+    p = query_mod.parse('-fox "brown dog"')
+    assert p.ast is None and p.forbidden and p.phrases
+    p = query_mod.parse("quick -fox +brown")
+    assert p.ast is None and p.forbidden and p.required
+
+    p = query_mod.parse("(a | b) + c")
+    assert p.ast is not None
+
+    p = query_mod.parse("word*")
+    assert p.ast is not None
+
+    # lenient posture: unbalanced parens still parse
+    p = query_mod.parse("((quick brown")
+    assert p.terms

@@ -24,11 +24,13 @@ Scoring is standard BM25 (k1=1.2, b=0.75) with idf from live document
 frequencies tracked host-side.  The hash only folds the vocabulary
 (collisions merge rare terms, the standard hashed-vocabulary trade).
 
-Queries go through the simple_query_string subset parser (query.py):
-required (+) / forbidden (-) terms are enforced on-device via presence
-masks; phrases are enforced as all-words-required on-device plus an
-in-order host check of the stored token sequence over the top
-candidates.
+Queries go through the full simple_query_string parser (query.py):
+flat queries (words, +/- operators, adjacency phrases) are enforced
+on-device via presence masks; structured ones (parens, prefix ``*``,
+fuzziness ``~N``, phrase slop) score their positive terms on-device and
+verify the boolean AST host-side over the overfetched top candidates.
+Prefix/fuzzy leaves expand against the host-side term vocabulary
+(most-frequent-first, capped).
 """
 
 from __future__ import annotations
@@ -50,6 +52,31 @@ log = logging.getLogger("vst.bm25")
 K1 = 1.2
 B = 0.75
 PAD = 0
+
+
+def _edit_distance_le(a: str, b: str, n: int) -> bool:
+    """Levenshtein(a, b) <= n, banded DP with early exit."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > n:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - n)
+        hi = min(lb, i + n)
+        if lo > 1:
+            cur[lo - 1] = n + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if hi < lb:
+            cur[hi + 1 :] = [n + 1] * (lb - hi)
+        if min(cur[lo - 1 : hi + 1]) > n:
+            return False
+        prev = cur
+    return prev[lb] <= n
 
 MAX_DOC_TERMS = 256  # U: distinct terms kept per document
 MAX_QUERY_TERMS = 16  # T: scored query terms (first T unique)
@@ -157,6 +184,7 @@ class BM25Index:
         self._frontier = 0
         self._size = 0
         self._df: Counter = Counter()  # term id → doc frequency (kept terms)
+        self._vocab: dict[str, int] = {}  # term string → id (for prefix/fuzzy)
         self._total_len = 0
         # full token sequences (host only) for phrase verification
         self._seqs: list[np.ndarray | None] = []
@@ -183,7 +211,10 @@ class BM25Index:
 
     def add(self, text: str) -> int:
         """Insert a document, returns its slot."""
-        ids = tokenizer.term_ids(text)
+        words = tokenizer.tokenize(text)
+        ids = [tokenizer.term_id(w) for w in words]
+        for w, t in zip(words, ids):
+            self._vocab.setdefault(w, t)
         counts = Counter(ids)
         if len(counts) > MAX_DOC_TERMS:
             kept_pairs = counts.most_common(MAX_DOC_TERMS)
@@ -268,6 +299,35 @@ class BM25Index:
         n, df = max(self._size, 1), self._df.get(term, 0)
         return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
 
+    # -- vocabulary expansion (query.Expander seam) -------------------------
+
+    def expand_prefix(self, prefix: str, limit: int) -> list[int]:
+        """Live term ids whose stored string starts with `prefix`,
+        most-frequent first (simple_query_string `word*`)."""
+        if not prefix:
+            return []
+        hits = [
+            (self._df.get(t, 0), t)
+            for w, t in self._vocab.items()
+            if w.startswith(prefix) and self._df.get(t, 0) > 0
+        ]
+        hits.sort(key=lambda x: -x[0])
+        return [t for _, t in hits[:limit]]
+
+    def expand_fuzzy(self, word: str, dist: int, limit: int) -> list[int]:
+        """Live term ids within edit distance `dist` of `word`
+        (simple_query_string `word~N`)."""
+        if not word:
+            return []
+        hits = []
+        for w, t in self._vocab.items():
+            if abs(len(w) - len(word)) > dist or self._df.get(t, 0) <= 0:
+                continue
+            if _edit_distance_le(word, w, dist):
+                hits.append((self._df.get(t, 0), t))
+        hits.sort(key=lambda x: -x[0])
+        return [t for _, t in hits[:limit]]
+
     def search(self, texts: list[str], k: int) -> list[list[tuple[int, float]]]:
         """Batch of query strings → per query [(slot, score) descending].
 
@@ -275,9 +335,16 @@ class BM25Index:
         +required, -forbidden, "phrases" (positional, host-verified)."""
         if self._size == 0:
             return [[] for _ in texts]
-        parsed = [query_mod.parse(t) for t in texts]
-        use_ops = any(p.has_operators for p in parsed)
-        any_phrase = any(p.phrases or p.neg_phrases for p in parsed)
+        parsed = [query_mod.parse(t, expander=self) for t in texts]
+        use_ops = any(
+            p.required or p.forbidden or p.phrases or p.neg_phrases
+            for p in parsed
+        )
+        # structured (AST) queries and phrases are verified host-side over
+        # an overfetched candidate set
+        any_host = any(
+            p.phrases or p.neg_phrases or p.ast is not None for p in parsed
+        )
 
         Q = len(texts)
         b = next((x for x in self.QUERY_BUCKETS if Q <= x), Q)
@@ -294,7 +361,7 @@ class BM25Index:
             neg = p.forbidden[:MAX_OP_TERMS]
             q_neg[j, : len(neg)] = neg
 
-        k_fetch = min(PHRASE_OVERFETCH * k, self._frontier) if any_phrase else k
+        k_fetch = min(PHRASE_OVERFETCH * k, self._frontier) if any_host else k
         k_fetch = max(k_fetch, k)
         arrays = self._device_arrays()
         avg = np.float32(max(self._total_len / max(self._size, 1), 1.0))
@@ -327,6 +394,12 @@ class BM25Index:
                     if any(not query_mod.phrase_in(seq, ph) for ph in p.phrases):
                         continue
                     if any(query_mod.phrase_in(seq, ph) for ph in p.neg_phrases):
+                        continue
+                if p.ast is not None:
+                    seq = self._seqs[slot] if slot < len(self._seqs) else None
+                    row = self._terms[slot]
+                    term_set = set(int(t) for t in row[row != PAD])
+                    if not query_mod.matches(p.ast, term_set, seq):
                         continue
                 hits.append((slot, float(sc)))
                 if len(hits) == k:

@@ -36,5 +36,12 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+def normalize(word: str) -> str:
+    """One query word through the same analysis as stored tokens (the
+    prefix/fuzzy expanders compare against stored vocabulary strings)."""
+    toks = tokenize(word)
+    return toks[0] if toks else ""
+
+
 def term_ids(text: str) -> list[int]:
     return [term_id(t) for t in tokenize(text)]
