@@ -630,6 +630,20 @@ def bench_graph(x, queries, exact, timer) -> None:
     log(f"# graph ingest: {rate:.0f} vec/s over {built} rows")
 
     qdev_vars = [jnp.roll(jnp.asarray(queries), r, axis=0) for r in range(12)]
+    if built < len(x):
+        # partial build: the full-dataset oracle doesn't apply — one
+        # exact scan over the graph's own (prefix) bank keeps the rung
+        # recalls real (graph slots are insertion-ordered, so ids align)
+        from vector_store_tpu.core import bruteforce
+        from vector_store_tpu.core import distance as dist_mod
+
+        qp = dist_mod.preprocess(qdev_vars[0], "cosine").astype(
+            idx.cfg.compute_dtype
+        )
+        _, oracle_ids = bruteforce.search(
+            qp, idx.state.vectors, idx.state.valid, "cosine", K, approx=False
+        )
+        exact = np.asarray(oracle_ids)
     best = None
     log(f"# config-2 curve (graph ef sweep @ N={built}):")
     for knobs in EF_LADDER:
@@ -639,9 +653,7 @@ def bench_graph(x, queries, exact, timer) -> None:
         cfg = dataclasses.replace(idx.cfg, **knobs)
         d_, i_ = search_mod.search(idx.state, qdev_vars[0], cfg, K)
         jax.block_until_ready((d_, i_))
-        rec = (
-            recall_of(np.asarray(i_), exact) if built == len(x) else float("nan")
-        )
+        rec = recall_of(np.asarray(i_), exact)
         qps = timer.qps(
             lambda r: search_mod.search(idx.state, qdev_vars[r % 12], cfg, K),
             len(queries),
