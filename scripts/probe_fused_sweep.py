@@ -6,6 +6,9 @@ geometry for the headline dispatch shape (1024 queries, probes=4,
 k=10, int8 1M x 768).  Usage:
     python scripts/probe_fused_sweep.py [N] [probes...]
 Caches the built index in /tmp so re-runs skip the build.
+`--rpb N` sets the rows-per-bucket geometry target (default 170):
+bigger buckets → larger DMA blocks → higher effective HBM bandwidth,
+at fewer/coarser probes.
 """
 
 import os
@@ -16,8 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-PROBES = [int(a) for a in sys.argv[2:]] or [4]
+RPB = 170
+args = []
+it = iter(sys.argv[1:])
+for a in it:
+    if a == "--rpb":
+        RPB = int(next(it))
+    else:
+        args.append(a)
+N = int(args[0]) if args else 1_000_000
+PROBES = [int(a) for a in args[1:]] or [4]
 D, Q, K = 768, 1024, 10
 
 from bench import make_dataset, recall_of  # noqa: E402
@@ -34,7 +45,7 @@ def main():
     print(f"# devices: {jax.devices()}", flush=True)
     x, queries = make_dataset(N, D, 2048)
     queries = queries[:Q]
-    snap = f"/tmp/vst_ivf_{N}_int8.npz"
+    snap = f"/tmp/vst_ivf_{N}_int8_rpb{RPB}.npz"
     if os.path.exists(snap):
         t0 = time.time()
         idx = IvfIndex.load(snap)
@@ -44,6 +55,7 @@ def main():
         idx = IvfIndex(
             IndexParams(dimensions=D, space="cosine", dtype="int8"),
             initial_capacity=N,
+            rows_per_bucket=RPB,
         )
         t0 = time.time()
         idx.add(x)

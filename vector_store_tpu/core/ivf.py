@@ -30,6 +30,7 @@ usearch add/remove semantics (src/index/usearch.rs:174-249).
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from typing import NamedTuple
 
@@ -82,14 +83,19 @@ class IvfState(NamedTuple):
         return self.vectors.shape[2]
 
 
-def k_for(rows: int) -> int:
-    """Cluster count: ~170 rows per bucket, MXU-aligned, capped at 64K.
+# Rows per bucket target.  170 ≈ 256/1.5: with buckets 128-rounded, B
+# lands on exactly 256 at slack 1.5.  The old 128-rows target rounded B
+# up to 2.05x the data — at 8M x 768 int8 that is a 12.3GB bank, which
+# (with the recluster's transients) no longer fits a 16GB chip.  Larger
+# targets trade probe granularity (recall per scanned byte) for larger
+# contiguous DMA blocks in the fused scan (effective HBM bandwidth).
+ROWS_PER_BUCKET = int(os.environ.get("VST_IVF_ROWS_PER_BUCKET", "170"))
 
-    170 ≈ 256/1.5: with buckets 128-rounded, B lands on exactly 256 at
-    slack 1.5.  The old 128-rows target rounded B up to 2.05x the data —
-    at 8M x 768 int8 that is a 12.3GB bank, which (with the recluster's
-    transients) no longer fits a 16GB chip."""
-    k = min(max(rows // 170, 1024), 1 << 16)
+
+def k_for(rows: int, rows_per_bucket: int | None = None) -> int:
+    """Cluster count: ~rows_per_bucket rows each, MXU-aligned, ≤64K."""
+    rpb = rows_per_bucket or ROWS_PER_BUCKET
+    k = min(max(rows // rpb, 1024), 1 << 16)
     return max((k // 128) * 128, 128)
 
 
@@ -503,6 +509,7 @@ class IvfIndex:
         initial_capacity: int | None = None,
         probes: int = PROBE_DEFAULT,
         cluster_min: int = CLUSTER_MIN_ROWS,
+        rows_per_bucket: int | None = None,
     ) -> None:
         self.params = params
         self.space = params.space
@@ -512,8 +519,9 @@ class IvfIndex:
         self.dims = params.dimensions
         self.probes = probes
         self.cluster_min = cluster_min
+        self.rows_per_bucket = rows_per_bucket or ROWS_PER_BUCKET
         rows0 = max(initial_capacity or 0, cluster_min)
-        k = k_for(rows0)
+        k = k_for(rows0, self.rows_per_bucket)
         b = bucket_for(rows0, k)
         self._state = init(self.dims, k, b, self.dtype)
         self._clustered = False
@@ -850,7 +858,7 @@ class IvfIndex:
         n = len(flat_live)
         if n == 0:
             return
-        k_new = k_for(n)
+        k_new = k_for(n, self.rows_per_bucket)
         cdt = s.centroids.dtype
         # the per-chunk [A, k_new] distance transient must stay ~256MB
         a_chunk = ASSIGN_CHUNK if k_new <= (1 << 15) else 1024
@@ -1088,6 +1096,7 @@ class IvfIndex:
                 "dtype": self.dtype,
                 "probes": self.probes,
                 "cluster_min": self.cluster_min,
+                "rows_per_bucket": self.rows_per_bucket,
                 "clustered": self._clustered,
                 "clustered_at": self._clustered_at,
                 "n_live": self._n_live,
@@ -1126,6 +1135,7 @@ class IvfIndex:
             idx.dims = idx.params.dimensions
             idx.probes = meta["probes"]
             idx.cluster_min = meta["cluster_min"]
+            idx.rows_per_bucket = meta.get("rows_per_bucket", ROWS_PER_BUCKET)
             idx._clustered = meta["clustered"]
             idx._clustered_at = meta["clustered_at"]
             idx._n_live = meta["n_live"]
