@@ -115,14 +115,22 @@ def print_headline(vs_baseline: float | None = None) -> None:
 
 
 def _watchdog() -> None:
-    """Emergency headline: if the budget is gone and the main thread is
-    stuck in a wedged device call, emit the best number we have and exit
-    cleanly rather than dying headline-less at the driver's timeout."""
+    """Budget enforcement: the driver records rc=124 whenever ITS timeout
+    fires (regardless of our SIGTERM handler), so the bench must always
+    exit on its own inside the budget.  Pre-headline: if the budget is
+    gone and the main thread is wedged in a device call, emit the best
+    number we have and exit.  Post-headline: give best-effort extras a
+    60s grace past the budget, then exit 0 — the headline is out."""
     while True:
         time.sleep(15)
+        over = -remaining()
         if _HEADLINE_DONE.is_set():
-            return  # normal path printed it; extras may continue freely
-        if remaining() < -30 and CANDIDATES:
+            if over > 60:
+                log(f"# bench exiting at budget+{over:.0f}s (extras cut short)")
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(0)
+        elif over > 30 and CANDIDATES:
             print_headline()
             sys.stdout.flush()
             sys.stderr.flush()
@@ -240,7 +248,14 @@ class DeviceTimer:
     """Honest device timing on a noisy remote backend: distinct inputs
     per rep (duplicate dispatches are elided), completion forced through
     one jitted combine + scalar readback (block_until_ready returns
-    early here), min over blocks (tunnel latency noise is one-sided)."""
+    early here), min over blocks (tunnel latency noise is one-sided).
+
+    Each timing block pays exactly ONE link roundtrip (the sync fetch) —
+    measured ~30ms over the axon tunnel, which at reps=6 would halve a
+    ~4.5ms/dispatch result.  The roundtrip is measured once (min of 5
+    no-op fetches, a conservative underestimate) and subtracted, so the
+    reported number is device QPS — the production metric; end-to-end
+    link latency is reported separately by the serving-path phase."""
 
     def __init__(self):
         import jax
@@ -251,6 +266,16 @@ class DeviceTimer:
             return sum(x[0, 0].astype(jnp.float32) for x in xs)
 
         self._combine = _combine
+        z = jnp.zeros((1, 1), jnp.float32)
+        for _ in range(2):  # warm the combine + link
+            float(np.asarray(self._combine(z)))
+        rts = []
+        for _ in range(5):
+            t0 = time.time()
+            float(np.asarray(self._combine(z)))
+            rts.append(time.time() - t0)
+        self.rt = min(rts)
+        log(f"# link roundtrip: {self.rt * 1e3:.1f}ms (subtracted from timings)")
 
     def qps(self, fn, n_queries: int, reps=10, blocks=3) -> float:
         outs = [fn(r) for r in range(reps)]
@@ -260,7 +285,9 @@ class DeviceTimer:
             t0 = time.time()
             outs = [fn(r) for r in range(reps)]
             float(np.asarray(self._combine(*[o[0] for o in outs])))
-            best = min(best, (time.time() - t0) / reps)
+            elapsed = time.time() - t0
+            # never attribute more than 80% of a block to the link
+            best = min(best, max(elapsed - self.rt, 0.2 * elapsed) / reps)
         return n_queries / best
 
 
@@ -762,6 +789,60 @@ def bench_real_data(timer) -> None:
     gc.collect()
 
 
+def bench_ivf_bf16(x, queries, exact, timer) -> None:
+    """bf16 IVF at probes=4 — the high-recall serving tier (~0.99 vs the
+    int8 headline's quantization-capped ~0.96) at 2x the scanned bytes.
+    Documents the recall/QPS point for the crossover table."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf import IvfIndex, search_clustered
+    from vector_store_tpu.types import IndexParams
+
+    n, d = x.shape
+    ivf = IvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="bfloat16"),
+        initial_capacity=n,
+    )
+    t0 = time.time()
+    ivf.add(x)
+    log(f"# ivf-bf16 ingest: {n / (time.time() - t0):.0f} vec/s")
+    st = ivf.state
+    qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
+    for probes in (4, 8):
+        if remaining() < 60:
+            break
+        _, i_ = ivf.search(queries, K, probes=probes)
+        rec = recall_of(i_, exact)
+        if ivf._fused_ok():
+            from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+
+            half = len(queries) // 2
+            qps = timer.qps(
+                lambda r: (
+                    search_clustered_fused(
+                        st, qdev[r % 12][:half], "cosine", K, probes
+                    )[0],
+                    search_clustered_fused(
+                        st, qdev[r % 12][half:], "cosine", K, probes
+                    )[0],
+                ),
+                len(queries),
+                reps=6,
+                blocks=2,
+            )
+        else:
+            qps = timer.qps(
+                lambda r: search_clustered(st, qdev[r % 12], "cosine", K, probes),
+                len(queries),
+                reps=6,
+                blocks=2,
+            )
+        log(f"#   ivf-bf16 probes={probes}: recall@10={rec:.3f} qps={qps:.0f}")
+        if rec >= TARGET_RECALL:
+            CANDIDATES.append((f"ivf-bf16-p{probes}", qps, rec))
+            break  # first rung over the bar documents the tier
+
+
 def bench_ingest_pipeline() -> None:
     """Config 3 — streaming inserts through the REAL ingestion path:
     MemDb snapshot scan → EmbeddingStream → monitor_items LWW bridge →
@@ -945,6 +1026,7 @@ def main() -> None:
         ("scan-int8", 150, lambda: bench_scan_int8(x, queries, exact, timer)),
         ("config-3 ingest pipeline", 180, bench_ingest_pipeline),
         ("real-data recall", 150, lambda: bench_real_data(timer)),
+        ("ivf-bf16 tier", 200, lambda: bench_ivf_bf16(x, queries, exact, timer)),
     ]
     for phase, est, fn in extras:
         if not fits(est, phase):

@@ -2,8 +2,11 @@
 """Pure-DMA streaming ceiling: HBM→VMEM block copies at varying block
 sizes, with and without the probe-scan's per-block matvec.
 
-Isolates what bounds the fused kernel (~145GB/s observed): per-copy
-overhead at B=384 blocks, or the scoring compute on the critical path.
+Isolates what bounds the fused kernel (~145GB/s observed at B=384): the
+per-copy overhead at small block sizes, or scoring on the critical
+path.  Each dispatch streams the whole bank once (grid × 64-block
+unroll); reps are dependency-chained through the query argument so the
+wall clock covers real execution, not dispatch pipelining.
 Usage: python scripts/probe_dma.py
 """
 
@@ -21,24 +24,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 D = 768
-NBUF = 4
+UNROLL = 64  # blocks per grid program
 
 
-def _kernel(q_ref, vec_hbm, out, *, nblocks: int, score: bool, nbuf: int):
+def _kernel(q_ref, vec_hbm, out, *, score: bool, nbuf: int):
     B = vec_hbm.shape[1]
+    gi = pl.program_id(0)
 
     def body(vbuf, acc, sems):
         def dma(slot, i):
             return pltpu.make_async_copy(
-                vec_hbm.at[i], vbuf.at[slot], sems.at[slot]
+                vec_hbm.at[gi * UNROLL + i], vbuf.at[slot], sems.at[slot]
             )
 
-        depth = min(nbuf, nblocks)
+        depth = min(nbuf, UNROLL)
         for s in range(depth - 1):
             dma(s % nbuf, s).start()
-        for s in range(nblocks):
+        acc[0, :] = jnp.zeros((8,), jnp.float32)
+        for s in range(UNROLL):
             slot = s % nbuf
-            if s + depth - 1 < nblocks:
+            if s + depth - 1 < UNROLL:
                 dma((s + depth - 1) % nbuf, s + depth - 1).start()
             dma(slot, s).wait()
             if score:
@@ -61,13 +66,11 @@ def _kernel(q_ref, vec_hbm, out, *, nblocks: int, score: bool, nbuf: int):
 
 @functools.partial(jax.jit, static_argnames=("score", "nbuf"))
 def stream(q, bank, score, nbuf):
-    nblocks = bank.shape[0]
-    kern = functools.partial(
-        _kernel, nblocks=nblocks, score=score, nbuf=nbuf
-    )
+    grid = bank.shape[0] // UNROLL
+    kern = functools.partial(_kernel, score=score, nbuf=nbuf)
     return pl.pallas_call(
         kern,
-        grid=(1,),
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec((8, D), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -79,26 +82,59 @@ def stream(q, bank, score, nbuf):
     )(q, bank)
 
 
+@functools.partial(jax.jit, static_argnames=("score", "nbuf", "reps"))
+def chain(q, bank, score, nbuf, reps):
+    # each rep's query depends on the previous rep's output through a
+    # REAL data dependency (not x*0, which XLA folds away and then CSEs
+    # the identical pallas calls): executions serialize, so wall clock =
+    # reps x true streaming time + one tunnel roundtrip
+    out = None
+    for _ in range(reps):
+        out = stream(q, bank, score, nbuf)
+        q = q.at[0, 0].add(out[0, 0] * 1e-30)
+    return out
+
+
+def _timed(q, bank, score, nbuf, reps):
+    # one fetch syncs (block_until_ready does NOT wait on the axon
+    # tunnel); min over 3 trials strips one-sided scheduling noise
+    out = chain(q, bank, score, nbuf, reps)
+    float(np.asarray(out)[0, 0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = chain(q, bank, score, nbuf, reps)
+        float(np.asarray(out)[0, 0])
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main():
     print(f"# devices: {jax.devices()}", flush=True)
-    total = 512 << 20  # 512MB bank
     q = jnp.asarray(np.random.default_rng(0).normal(size=(8, D)), jnp.float32)
-    for B in (128, 384, 768, 1536, 3072):
-        nblocks = total // (B * D)
-        bank = jnp.zeros((nblocks, B, D), dtype=jnp.int8)
-        for score in (False, True):
-            for nbuf in (2, 4, 8):
-                out = stream(q, bank, score, nbuf)
-                jax.block_until_ready(out)
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.time()
-                    jax.block_until_ready(stream(q, bank, score, nbuf))
-                    best = min(best, time.time() - t0)
-                gbs = nblocks * B * D / best / 1e9
+    for B in (384, 768, 1536):
+        nblocks = max((256 << 20) // (B * D), UNROLL) // UNROLL * UNROLL
+        bank_bytes = nblocks * B * D
+        bank = jnp.asarray(
+            np.random.default_rng(1).integers(
+                -127, 127, size=(nblocks, B, D), dtype=np.int8
+            )
+        )
+        for score in (True, False):
+            for nbuf in (4,):
+                # slope method: T(reps) = reps*T_pass + roundtrip; the
+                # difference cancels the tunnel latency
+                lo, hi = 2, 10
+                t_lo = _timed(q, bank, score, nbuf, lo)
+                t_hi = _timed(q, bank, score, nbuf, hi)
+                t_pass = (t_hi - t_lo) / (hi - lo)
+                rt = t_lo - lo * t_pass
+                gbs = bank_bytes / t_pass / 1e9
                 print(
                     f"# B={B:5d} ({B * D >> 10:5d}KB) score={int(score)} "
-                    f"nbuf={nbuf}: {gbs:.0f} GB/s",
+                    f"nbuf={nbuf}: {gbs:.0f} GB/s  "
+                    f"(pass={t_pass * 1e3:.2f}ms of {bank_bytes >> 20}MB, "
+                    f"roundtrip={rt * 1e3:.1f}ms)",
                     flush=True,
                 )
         del bank

@@ -67,6 +67,20 @@ def main():
     B = int(st.bucket)
     qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(8)]
 
+    # link roundtrip (the one sync fetch per timing block) — subtracted,
+    # matching bench.py's DeviceTimer methodology
+    z = jnp.zeros((1, 1), jnp.float32)
+    fetch = jax.jit(lambda a: a[0, 0])
+    for _ in range(2):
+        float(np.asarray(fetch(z)))
+    rt = min(
+        (lambda t0: (float(np.asarray(fetch(z))), time.time() - t0)[1])(
+            time.time()
+        )
+        for _ in range(5)
+    )
+    print(f"# link roundtrip: {rt * 1e3:.1f}ms", flush=True)
+
     for p in PROBES:
         base_r = None
         for qg in (8, 16, 32):
@@ -93,8 +107,11 @@ def main():
                             )[0]
                             for r in range(8)
                         ]
-                        jax.block_until_ready(outs)
-                        best = min(best, (time.time() - t0) / 8)
+                        float(np.asarray(fetch(outs[-1])))
+                        elapsed = time.time() - t0
+                        best = min(
+                            best, max(elapsed - rt, 0.2 * elapsed) / 8
+                        )
                     qps = Q / best
                     gbs = Q * p * B * D / best / 1e9
                     print(f"#  p={p} qg={qg} nbuf={nbuf}: qps={qps:.0f} "

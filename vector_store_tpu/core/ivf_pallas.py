@@ -147,10 +147,14 @@ def search_fused(
     probes: int,
     quantized: bool,
     interpret: bool = False,
-    qg: int = QG,
+    qg: int | None = None,
     nbuf: int = NBUF,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     Q, D = queries_prep.shape
+    if qg is None:
+        # wider groups measured ~4% faster at 1M x 768 int8 p=4 (on-chip
+        # sweep, scripts/probe_fused_sweep.py); small batches need qg=8
+        qg = 16 if Q % 16 == 0 else QG
     if Q % qg:
         raise ValueError(f"query batch must be a multiple of {qg}, got {Q}")
     p = probes
@@ -215,7 +219,7 @@ def search_clustered_fused(
     k: int,
     probes: int,
     interpret: bool = False,
-    qg: int = QG,
+    qg: int | None = None,
     nbuf: int = NBUF,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One-dispatch fused clustered search: preprocess + centroid route +
