@@ -882,15 +882,35 @@ def bench_ingest_pipeline() -> None:
         t0 = time.time()
         stream = await db.get_db_index(meta)
         task = asyncio.create_task(monitor_items.run(stream, handle))
-        while await handle.count() < n_ing:
+        # phase deadline: a wedged device dispatch must not silence the
+        # bench past its budget (observed: one run stalled here >10min)
+        deadline = t0 + min(max(remaining(), 60.0), 400.0)
+        last_log = t0
+        cnt = 0
+        while cnt < n_ing and time.time() < deadline:
+            try:
+                cnt = await asyncio.wait_for(handle.count(), timeout=60)
+            except asyncio.TimeoutError:
+                log("# config-3 count() timed out (wedged dispatch)")
+                break
+            now = time.time()
+            if now - last_log > 30:
+                log(f"#   pipeline ingest {cnt}/{n_ing}: {cnt / (now - t0):.0f} vec/s")
+                last_log = now
             await asyncio.sleep(0.2)
         dt = time.time() - t0
         stream.stop()
-        await stream.close()
-        await task
-        cnt = await handle.count()
-        handle.close()
-        await handle.join()
+        try:
+            await asyncio.wait_for(stream.close(), timeout=30)
+            if cnt >= n_ing:
+                await asyncio.wait_for(task, timeout=60)
+                cnt = await asyncio.wait_for(handle.count(), timeout=60)
+                handle.close()
+                await asyncio.wait_for(handle.join(), timeout=60)
+            else:
+                log(f"# config-3 pipeline cut at deadline ({cnt}/{n_ing} rows)")
+        except asyncio.TimeoutError:
+            log("# config-3 teardown timed out (wedged dispatch)")
         return dt, cnt
 
     dt, cnt = asyncio.run(run())
