@@ -209,7 +209,7 @@ class _Parser:
         return self._leaf_word(t[1]), False
 
 
-    def group(self):
+    def group(self, top: bool = False):
         """group := (op? clause)* — positives fold through the explicit
         operators (default OR); negations become group-level MUST_NOT."""
         pos = None
@@ -217,8 +217,13 @@ class _Parser:
         pending_op = None
         while True:
             t = self.peek()
-            if t is None or t[0] == ")":
+            if t is None:
                 break
+            if t[0] == ")":
+                if not top:
+                    break
+                self.next()  # stray ')' at top level: lenient skip
+                continue
             if t[0] in ("+", "|"):
                 self.next()
                 pending_op = t[0]
@@ -250,7 +255,7 @@ class _Parser:
 
 def parse(text: str, expander: Expander | None = None) -> ParsedQuery:
     p = _Parser(_lex(text), expander)
-    root = p.group()
+    root = p.group(top=True)
     q = ParsedQuery()
     if root is None:
         return q
