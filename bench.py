@@ -308,6 +308,10 @@ def check_fused_parity(xla_out, fused_out) -> bool:
             f"# fused-parity: FAIL (dist_err={dist_err:.4f} "
             f"id_overlap={overlap:.3f}) — XLA fallback"
         )
+        # the opt-out env gate is what IvfIndex._fused_ok consults, so
+        # this also forces every later ivf.search() (the recall
+        # measurements) onto the XLA path, not just the timed runs
+        os.environ["VST_IVF_FUSED"] = "0"
         return False
     log(f"# fused-parity: ok (dist_err={dist_err:.4f} id_overlap={overlap:.3f})")
     return True

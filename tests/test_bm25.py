@@ -172,6 +172,11 @@ def test_simple_query_string_full_grammar():
     got = {h[0] for h in idx.search(["bear + salmon | foxtrot"], 5)[0]}
     assert got == {s2, s3}
 
+    # scored bag with negation rides the flat path end-to-end: docs
+    # containing `lazy` are excluded by the device forbidden mask
+    got = {h[0] for h in idx.search(["quick fox -lazy"], 5)[0]}
+    assert got == {s1, s2}
+
 
 def test_parser_flat_vs_ast():
     """Old-subset queries stay on the flat device-mask path; new syntax
@@ -182,6 +187,24 @@ def test_parser_flat_vs_ast():
     assert p.ast is None and p.forbidden and p.phrases
     p = query_mod.parse("quick -fox +brown")
     assert p.ast is None and p.forbidden and p.required
+
+    # scored bag + group negation stays flat: the device forbidden mask
+    # must apply even when no candidate overfetch happens
+    p = query_mod.parse("quick fox -lazy")
+    assert p.ast is None and p.forbidden and not p.required
+    assert len(p.terms) == 2
+
+    # punctuation-split words are an OR of their sub-tokens — flat
+    p = query_mod.parse("hello ab-cd")
+    assert p.ast is None and len(p.terms) == 3
+
+    # negated multi-id word forbids every sub-token
+    p = query_mod.parse("-ab-cd")
+    assert p.ast is None and len(p.forbidden) == 2
+
+    # a multi-id word under AND is a disjunctive requirement → host AST
+    p = query_mod.parse("ab-cd + x")
+    assert p.ast is not None
 
     p = query_mod.parse("(a | b) + c")
     assert p.ast is not None

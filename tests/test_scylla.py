@@ -310,14 +310,28 @@ async def test_full_pipeline_on_fake_session():
 
 
 class _FakeResponseFuture:
-    def __init__(self, rows=None, exc=None):
-        self._rows, self._exc = rows, exc
+    """Driver-shaped future: the ok callback fires once per page, and
+    `start_fetching_next_page` re-fires it with the next page's rows."""
+
+    def __init__(self, rows=None, exc=None, pages=None):
+        self._pages = list(pages) if pages is not None else [rows]
+        self._exc = exc
+        self._ok = None
+
+    @property
+    def has_more_pages(self):
+        return len(self._pages) > 1
+
+    def start_fetching_next_page(self):
+        self._pages.pop(0)
+        self._ok(self._pages[0])
 
     def add_callbacks(self, ok, err):
         if self._exc is not None:
             err(self._exc)
         else:
-            ok(self._rows)
+            self._ok = ok
+            ok(self._pages[0])
 
 
 class _FakeDriverSession:
@@ -384,6 +398,10 @@ class _FakeDriverSession:
             return _FakeResponseFuture(rows=[("v42",)])
         if "boom" in str(stmt):
             return _FakeResponseFuture(exc=RuntimeError("boom"))
+        if "paged" in str(stmt):
+            return _FakeResponseFuture(
+                pages=[[(1, "a")], [(2, "b")], [(3, "c")]]
+            )
         return _FakeResponseFuture(rows=[(1, "a"), (2, "b")])
 
 
@@ -407,6 +425,11 @@ async def test_driver_session_adapter():
         ("prepared", "SELECT x FROM t WHERE id = ?"),
         (2,),
     )
+
+    # multi-page results are drained to completion, not truncated to the
+    # first driver page (fetch_size default is 5000 rows)
+    rows = await s.execute("SELECT paged FROM t")
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
 
     # driver errors propagate as exceptions
     with pytest.raises(RuntimeError, match="boom"):

@@ -313,10 +313,13 @@ async def _metrics_middleware(request: web.Request, handler):
         status = exc.status
         raise
     finally:
+        # unmatched requests (404 scanners, random probes) collapse to
+        # one sentinel label — raw paths would mint a new Prometheus
+        # series per distinct URL and grow the registry without bound
         route = (
             request.match_info.route.resource.canonical
             if request.match_info.route.resource is not None
-            else request.path
+            else "unmatched"
         )
         if route not in ("/metrics", "/healthz"):
             metrics.counter(

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..types import IndexParams
+from ..utils.device import drain_dispatch
 from . import build, bruteforce, graph, search
 from .graph import GraphConfig, GraphState
 
@@ -223,7 +224,7 @@ class SlotIndex:
                     self.cfg,
                 )
                 if (i + 1) % sync_every == 0:
-                    jax.block_until_ready(self._state.size)
+                    drain_dispatch(self._state.size)
                 self._maybe_rebuild_router_locked(base + off + m)
             # End-of-call staleness bound: the in-loop policy rebuilds at
             # doubling, so a bulk load can finish with up to half the

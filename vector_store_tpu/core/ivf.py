@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..types import IndexParams
+from ..utils.device import drain_dispatch
 from . import distance as dist_mod
 from .topk import INF, SENTINEL, topk_ascending
 
@@ -618,7 +619,7 @@ class IvfIndex:
                 else:
                     self._add_staging(blk, rid)
                 if (i + 1) % 8 == 0:
-                    jax.block_until_ready(self._state.valid)
+                    drain_dispatch(self._state.valid)
             self._n_live += n
             self._maybe_recluster()
         return rowids

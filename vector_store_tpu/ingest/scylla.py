@@ -199,10 +199,20 @@ class DriverSession:
             )
         fut: asyncio.Future = loop.create_future()
         rf = self._session.execute_async(stmt or query, params or None)
+        # the callback fires once per driver page (default fetch_size
+        # 5000); keep pulling pages until exhausted or a token-range scan
+        # / CDC poll burst larger than one page silently loses rows
+        acc: list[tuple] = []
+
+        def on_page(rows):
+            acc.extend(tuple(r) for r in rows or [])
+            if getattr(rf, "has_more_pages", False):
+                rf.start_fetching_next_page()
+            else:
+                loop.call_soon_threadsafe(fut.set_result, acc)
+
         rf.add_callbacks(
-            lambda rows: loop.call_soon_threadsafe(
-                fut.set_result, [tuple(r) for r in rows or []]
-            ),
+            on_page,
             lambda exc: loop.call_soon_threadsafe(fut.set_exception, exc),
         )
         return await fut

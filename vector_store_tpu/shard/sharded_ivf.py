@@ -56,6 +56,8 @@ from ..core.ivf import (
     _gather_dequant,
     _lloyd_iter,
     _storage_dtype,
+    FUSED_MAX_K,
+    ROWS_PER_BUCKET,
     bucket_for,
     init,
     k_for,
@@ -328,6 +330,7 @@ class ShardedIvfIndex:
         probes: int = PROBE_DEFAULT,
         cluster_min: int = CLUSTER_MIN_ROWS,
         initial_capacity: int | None = None,
+        rows_per_bucket: int | None = None,
     ) -> None:
         self.params = params
         self.space = params.space
@@ -337,13 +340,14 @@ class ShardedIvfIndex:
         self.dims = params.dimensions
         self.probes = probes
         self.cluster_min = cluster_min
+        self.rows_per_bucket = rows_per_bucket or ROWS_PER_BUCKET
         self.mesh = mesh or make_mesh(n_devices)
         self._holder = _MeshHolder(self.mesh)
         self.n_shards = self.mesh.devices.size
         rows0 = max(
             -(-(initial_capacity or 0) // self.n_shards), cluster_min
         )
-        k = k_for(rows0)
+        k = k_for(rows0, self.rows_per_bucket)
         b = bucket_for(rows0, k)
         self._state = _stack_init(
             self.dims, k, b, self.dtype, self.n_shards, self.mesh
@@ -615,7 +619,7 @@ class ShardedIvfIndex:
         n_max = max(ns)
         if n_max == 0:
             return
-        k_new = k_for(n_max)
+        k_new = k_for(n_max, self.rows_per_bucket)
         cdt = s.centroids.dtype
         a_chunk = ASSIGN_CHUNK if k_new <= (1 << 15) else 1024
 
@@ -768,7 +772,10 @@ class ShardedIvfIndex:
                 mode = "flat_exact"
             elif not self._clustered:
                 mode = "flat"
-            elif self._fused_ok():
+            elif k <= FUSED_MAX_K and self._fused_ok():
+                # same large-k routing as IvfIndex.search: the fused
+                # kernel's top-k is k serial extract-min sweeps, so past
+                # FUSED_MAX_K the logarithmic XLA path wins
                 mode = "fused"
             else:
                 mode = "probe"
@@ -818,6 +825,7 @@ class ShardedIvfIndex:
                 "dtype": self.dtype,
                 "probes": self.probes,
                 "cluster_min": self.cluster_min,
+                "rows_per_bucket": self.rows_per_bucket,
                 "clustered": self._clustered,
                 "clustered_at": self._clustered_at,
                 "next_rowid": [b.next_rowid for b in self._books],
@@ -857,6 +865,7 @@ class ShardedIvfIndex:
             idx.dims = idx.params.dimensions
             idx.probes = meta["probes"]
             idx.cluster_min = meta["cluster_min"]
+            idx.rows_per_bucket = meta.get("rows_per_bucket", ROWS_PER_BUCKET)
             idx.mesh = mesh or make_mesh(n_devices or meta["n_shards"])
             if idx.mesh.devices.size != meta["n_shards"]:
                 raise ValueError(

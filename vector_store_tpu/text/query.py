@@ -283,16 +283,30 @@ def _collect_scored(node, out: list[int], seen: set[int]) -> None:
     # Not: negated subtrees are never scored
 
 
+def _scored_bag(node) -> bool:
+    """A positive subtree expressible purely by the scored bag — "doc
+    matches ≥1 scored term": a Term (multi-id = OR of its ids after
+    tokenizer splitting / vocabulary expansion) or an Or of Terms."""
+    if isinstance(node, Term):
+        return True
+    if isinstance(node, Or):
+        return all(isinstance(c, Term) for c in node.children)
+    return False
+
+
 def _flatten(node, q: ParsedQuery, top: bool = False) -> bool:
     """Try to express `node` with the flat device masks.  Handles the
     grammar the round-2 parser accepted: And/Or of words, adjacency
-    phrases and negated words/phrases.  Returns False when the shape
-    needs the host verifier (e.g. OR containing an And/phrase mix that
-    masks cannot express)."""
+    phrases and negated words/phrases — including the default scored
+    bag with group-level negations (``quick fox -lazy`` parses to
+    ``And([Or(quick,fox), Not(lazy)])`` and stays flat).  Returns False
+    when the shape needs the host verifier (e.g. OR containing an
+    And/phrase mix that masks cannot express)."""
     if isinstance(node, Term):
-        if len(node.ids) != 1:
-            return False
-        return True  # scored-only; matching ≥1 scored term is implied
+        # at top level "any of ids" IS the implied ≥1-scored-term match;
+        # inside an And a multi-id Term is a disjunctive requirement the
+        # conjunctive `required` mask cannot express
+        return top or len(node.ids) == 1
     if isinstance(node, Phrase):
         if node.slop:
             return False
@@ -303,16 +317,29 @@ def _flatten(node, q: ParsedQuery, top: bool = False) -> bool:
         return True
     if isinstance(node, Not):
         c = node.child
-        if isinstance(c, Term) and len(c.ids) == 1:
-            if c.ids[0] not in q.forbidden:
-                q.forbidden.append(c.ids[0])
+        if isinstance(c, Term):
+            # NOT(any of ids) = none may be present
+            for t in c.ids:
+                if t not in q.forbidden:
+                    q.forbidden.append(t)
             return True
         if isinstance(c, Phrase) and not c.slop:
             q.neg_phrases.append(c.ids)
             return True
         return False
     if isinstance(node, And):
+        positives = [c for c in node.children if not isinstance(c, Not)]
+        # a sole positive that is the scored bag (Or of words, or one
+        # multi-id word) keeps OR semantics via the implied match; a
+        # single plain word stays on the stricter `required` mask
+        bag = None
+        if top and len(positives) == 1 and _scored_bag(positives[0]):
+            p = positives[0]
+            if not (isinstance(p, Term) and len(p.ids) == 1):
+                bag = p
         for c in node.children:
+            if c is bag:
+                continue
             if isinstance(c, Term) and len(c.ids) == 1:
                 if c.ids[0] not in q.required:
                     q.required.append(c.ids[0])
@@ -320,11 +347,10 @@ def _flatten(node, q: ParsedQuery, top: bool = False) -> bool:
                 return False
         return True
     if isinstance(node, Or):
-        # a top-level OR of plain words is the default scored bag; any
-        # structure inside an OR branch exceeds the masks
-        return top and all(
-            isinstance(c, Term) and len(c.ids) == 1 for c in node.children
-        )
+        # a top-level OR of plain words (multi-id ok: OR of ORs) is the
+        # default scored bag; any structure inside an OR branch exceeds
+        # the masks
+        return top and all(isinstance(c, Term) for c in node.children)
     return False
 
 
