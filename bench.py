@@ -135,6 +135,17 @@ def _watchdog() -> None:
             sys.stdout.flush()
             sys.stderr.flush()
             os._exit(0)
+        elif over > 30:
+            # budget gone with NOTHING measured: the device never
+            # answered (wedged tunnel / dead backend).  Exit with a
+            # diagnosis instead of hanging into the driver's rc=124.
+            log(
+                f"# bench ABORT at budget+{over:.0f}s: no measurement "
+                "completed — device backend unresponsive"
+            )
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(1)
 
 
 def _on_term(signum, frame):  # noqa: ANN001 — signal signature
