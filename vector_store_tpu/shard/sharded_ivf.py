@@ -168,13 +168,17 @@ def _sh_unvalidate(state, ks, poss, mesh_holder):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("space", "k", "probes", "mode", "mesh_holder")
+    jax.jit,
+    static_argnames=("space", "k", "probes", "mode", "mesh_holder", "interpret"),
 )
-def _sh_search(state, queries, space, k, probes, mode, mesh_holder):
+def _sh_search(state, queries, space, k, probes, mode, mesh_holder,
+               interpret=False):
     """Replicated queries → per-shard probe-scan → all_gather top-k merge.
 
     mode: 'probe' (clustered scan), 'fused' (pallas kernel per shard),
-    'flat' (staging-phase full scan), 'flat_exact' (the recall oracle)."""
+    'flat' (staging-phase full scan), 'flat_exact' (the recall oracle).
+    `interpret` runs the fused kernel under the mosaic interpreter so the
+    sharded plumbing is testable on the CPU mesh."""
     mesh = mesh_holder.mesh
     S = mesh.devices.size
 
@@ -183,7 +187,9 @@ def _sh_search(state, queries, space, k, probes, mode, mesh_holder):
         if mode == "fused":
             from ..core.ivf_pallas import search_clustered_fused
 
-            d, rid = search_clustered_fused(local, q_rep, space, k, probes)
+            d, rid = search_clustered_fused(
+                local, q_rep, space, k, probes, interpret=interpret
+            )
         elif mode == "probe":
             d, rid = search_clustered(local, q_rep, space, k, probes)
         else:
