@@ -303,3 +303,46 @@ async def test_object_primary_key_over_http():
     finally:
         await c.close()
         await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_request_deadline_504(monkeypatch):
+    """VST_REQUEST_TIMEOUT_S bounds query requests: a wedged device
+    dispatch surfaces as 504, not a hung connection (off by default)."""
+    from vector_store_tpu.api import routes as routes_mod
+
+    c, engine = await _make_client()
+    try:
+        await c.put("/api/v1/text-search/articles")
+        r = await c.post(
+            "/api/v1/text-search/articles/add",
+            json={"id": "d1", "text": "hello deadline"},
+        )
+        assert r.status == 200
+
+        from vector_store_tpu.types import IndexId
+
+        index = await engine.get_index(IndexId("articles"))
+
+        async def stuck_search(text, limit):
+            await asyncio.sleep(30)
+
+        monkeypatch.setattr(index, "search", stuck_search)
+        monkeypatch.setattr(routes_mod, "REQUEST_TIMEOUT_S", 0.05)
+        r = await c.post(
+            "/api/v1/text-search/articles/search",
+            json={"text": "hello", "limit": 1},
+        )
+        assert r.status == 504
+
+        # deadline off (default) → normal path unaffected
+        monkeypatch.setattr(routes_mod, "REQUEST_TIMEOUT_S", 0.0)
+        monkeypatch.undo()  # restore the real search
+        r = await c.post(
+            "/api/v1/text-search/articles/search",
+            json={"text": "hello", "limit": 1},
+        )
+        assert r.status == 200
+    finally:
+        await c.close()
+        await engine.close()

@@ -26,7 +26,9 @@ Plus OpenAPI JSON at /api-docs/openapi.json and a Swagger UI page at
 
 from __future__ import annotations
 
+import asyncio
 import logging
+import os
 import time
 
 import numpy as np
@@ -38,6 +40,19 @@ from ..utils import metrics
 from .openapi import openapi_spec, swagger_html
 
 log = logging.getLogger("vst.http")
+
+# Optional serving deadline (seconds) for query requests: a wedged
+# device dispatch surfaces as 504 instead of a connection that hangs
+# forever.  Off by default (0) — first compiles of a new dispatch shape
+# legitimately take tens of seconds, so deployments opt in once warm.
+REQUEST_TIMEOUT_S = float(os.environ.get("VST_REQUEST_TIMEOUT_S", "0"))
+
+
+async def _bounded(coro):
+    timeout = REQUEST_TIMEOUT_S
+    if timeout <= 0:
+        return await coro
+    return await asyncio.wait_for(coro, timeout)
 
 
 def _json_error(status: int, text: str = "") -> web.Response:
@@ -97,7 +112,9 @@ async def post_text_search(request: web.Request) -> web.Response:
     body = await request.json()
     limit = Limit(int(body.get("limit", 1)))
     try:
-        keys = await index.search(body["text"], limit)
+        keys = await _bounded(index.search(body["text"], limit))
+    except TimeoutError:
+        return _json_error(504, "search deadline exceeded")
     except Exception as exc:  # noqa: BLE001 — 500 with error text
         msg = f"index.search request error: {exc}"
         log.debug("post_text_search: %s", msg)
@@ -202,7 +219,9 @@ async def post_ann(request: web.Request) -> web.Response:
     limit = Limit(int(body.get("limit", 1)))
     embedding = np.asarray(body["embedding"], dtype=np.float32)
     try:
-        keys, distances = await index.ann(embedding, limit)
+        keys, distances = await _bounded(index.ann(embedding, limit))
+    except TimeoutError:
+        return _json_error(504, "ann deadline exceeded")
     except ValueError as exc:  # dimension mismatch (usearch.rs:259-272)
         return _json_error(400, str(exc))
     except Exception as exc:  # noqa: BLE001

@@ -3,6 +3,12 @@
 The reference configures itself purely from env vars / `.env` via dotenvy
 (reference: src/main.rs:17,23-37; README.md "Configuration").  Same model
 here: env vars with defaults, plus an optional `.env` file loaded at startup.
+
+Additional knobs read where they apply (all optional):
+  VST_REQUEST_TIMEOUT_S   serving deadline for query requests, 504 on
+                          expiry (api/routes.py; default 0 = off)
+  VST_IVF_FUSED=0         opt out of the fused pallas probe-scan
+  VST_IVF_ROWS_PER_BUCKET IVF geometry target (cluster granularity)
 """
 
 from __future__ import annotations
