@@ -206,6 +206,15 @@ def test_parser_flat_vs_ast():
     p = query_mod.parse("ab-cd + x")
     assert p.ast is not None
 
+    # more forbidden ids than the device mask holds → host AST, never a
+    # silent truncation of the negations
+    many_neg = "word " + " ".join(f"-neg{i}" for i in range(9))
+    p = query_mod.parse(many_neg)
+    assert p.ast is not None and not p.forbidden
+    many_req = " + ".join(f"req{i}" for i in range(9))
+    p = query_mod.parse(many_req)
+    assert p.ast is not None and not p.required
+
     p = query_mod.parse("(a | b) + c")
     assert p.ast is not None
 

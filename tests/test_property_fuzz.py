@@ -29,14 +29,17 @@ def _drive(
     max_add: int,
     decode=int,
     strict_top1: bool = True,
+    model: dict | None = None,
 ):
     """Shared fuzz loop: returns (model, remap_count).  `idx` needs
     add/remove/search/count and optionally compact/exact_search.
     `strict_top1=False` relaxes the approximate-search self-lookup for
     probe-bounded backends (IVF after clustering); the exact oracle
-    still asserts top-1."""
+    still asserts top-1.  `model` seeds the oracle with rows already in
+    the index (they churn like any other)."""
     rng = np.random.default_rng(seed)
-    model: dict[int, np.ndarray] = {}  # id -> vector (live rows)
+    if model is None:
+        model = {}  # id -> vector (live rows)
     remap_total = 0
     has_compact = hasattr(idx, "compact")
 
@@ -123,40 +126,64 @@ def test_random_ops_sharded():
 
 
 def test_random_ops_ivf():
-    """The IVF backend under the same model-oracle loop, sized to cross
-    the staging→clustered transition AND bucket growth mid-run (the
-    round-2 staging-overwrite bug was exactly this class: a flat cursor
-    landing rows on occupied slots after growth)."""
+    """The IVF backend under the model-oracle loop.  A deterministic
+    bulk add first crosses the staging→clustered threshold VIA THE ADD
+    PATH (a random-compact crossing would certify nothing — it
+    reclusters unconditionally), then the randomized churn runs against
+    the clustered bank: placement, free-list slot reuse, doubling
+    reclusters.  (Single-add staging growth has its own dedicated test:
+    test_ivf.py::test_staging_add_survives_bucket_growth.)"""
     from vector_store_tpu.core.ivf import IvfIndex
 
     d = 12
     idx = IvfIndex(
-        IndexParams(dimensions=d, space="l2"), cluster_min=1500, probes=64
+        IndexParams(dimensions=d, space="l2"), cluster_min=600, probes=64
     )
+    rng = np.random.default_rng(99)
+    seed_vecs = rng.normal(size=(700, d)).astype(np.float32)
+    ids = idx.add(seed_vecs)
+    assert idx._clustered, "bulk add must cross cluster_min via add()"
+    seeded = {int(s): v for s, v in zip(ids, seed_vecs)}
     model, _ = _drive(
-        idx, steps=60, seed=13, d=d, max_add=64, strict_top1=False
+        idx,
+        steps=60,
+        seed=13,
+        d=d,
+        max_add=64,
+        strict_top1=False,
+        model=seeded,
     )
-    assert idx._clustered, "fuzz never crossed the recluster threshold"
     assert idx.count() == len(model)
 
 
 def test_random_ops_ivf_sharded():
     """Same loop against the 8-device sharded IVF (newest backend):
-    per-shard recluster, free-list slot reuse under churn, and stable
-    gids across compact all under randomized interleavings."""
+    add-path recluster crossing, per-shard placement, free-list reuse
+    under churn, and stable gids across compact, all under randomized
+    interleavings."""
     from vector_store_tpu.shard.sharded_ivf import ShardedIvfIndex
 
     d = 12
     idx = ShardedIvfIndex(
         IndexParams(dimensions=d, space="l2"),
         n_devices=8,
-        cluster_min=1500,
+        cluster_min=600,
         probes=64,
     )
+    rng = np.random.default_rng(98)
+    seed_vecs = rng.normal(size=(700, d)).astype(np.float32)
+    ids = idx.add(seed_vecs)
+    assert idx._clustered, "bulk add must cross cluster_min via add()"
+    seeded = {int(s): v for s, v in zip(ids, seed_vecs)}
     model, _ = _drive(
-        idx, steps=30, seed=11, d=d, max_add=96, strict_top1=False
+        idx,
+        steps=30,
+        seed=11,
+        d=d,
+        max_add=96,
+        strict_top1=False,
+        model=seeded,
     )
-    assert idx._clustered, "fuzz never crossed the sharded recluster"
     assert idx.count() == len(model)
 
 

@@ -48,11 +48,20 @@ log = logging.getLogger("vst.http")
 REQUEST_TIMEOUT_S = float(os.environ.get("VST_REQUEST_TIMEOUT_S", "0"))
 
 
+class _DeadlineExceeded(Exception):
+    """Distinct from TimeoutError so (a) pre-3.11 asyncio.TimeoutError is
+    caught reliably and (b) a TimeoutError raised inside a handler is
+    never mislabeled as the serving deadline."""
+
+
 async def _bounded(coro):
     timeout = REQUEST_TIMEOUT_S
     if timeout <= 0:
         return await coro
-    return await asyncio.wait_for(coro, timeout)
+    try:
+        return await asyncio.wait_for(coro, timeout)
+    except asyncio.TimeoutError:
+        raise _DeadlineExceeded from None
 
 
 def _json_error(status: int, text: str = "") -> web.Response:
@@ -113,7 +122,7 @@ async def post_text_search(request: web.Request) -> web.Response:
     limit = Limit(int(body.get("limit", 1)))
     try:
         keys = await _bounded(index.search(body["text"], limit))
-    except TimeoutError:
+    except _DeadlineExceeded:
         return _json_error(504, "search deadline exceeded")
     except Exception as exc:  # noqa: BLE001 — 500 with error text
         msg = f"index.search request error: {exc}"
@@ -220,7 +229,7 @@ async def post_ann(request: web.Request) -> web.Response:
     embedding = np.asarray(body["embedding"], dtype=np.float32)
     try:
         keys, distances = await _bounded(index.ann(embedding, limit))
-    except TimeoutError:
+    except _DeadlineExceeded:
         return _json_error(504, "ann deadline exceeded")
     except ValueError as exc:  # dimension mismatch (usearch.rs:259-272)
         return _json_error(400, str(exc))

@@ -205,11 +205,17 @@ class DriverSession:
         acc: list[tuple] = []
 
         def on_page(rows):
-            acc.extend(tuple(r) for r in rows or [])
-            if getattr(rf, "has_more_pages", False):
-                rf.start_fetching_next_page()
-            else:
-                loop.call_soon_threadsafe(fut.set_result, acc)
+            # runs on a driver callback thread whose runner swallows
+            # exceptions — any failure must resolve the future or the
+            # awaiting ingest task hangs forever
+            try:
+                acc.extend(tuple(r) for r in rows or [])
+                if getattr(rf, "has_more_pages", False):
+                    rf.start_fetching_next_page()
+                else:
+                    loop.call_soon_threadsafe(fut.set_result, acc)
+            except Exception as exc:  # noqa: BLE001
+                loop.call_soon_threadsafe(fut.set_exception, exc)
 
         rf.add_callbacks(
             on_page,

@@ -80,7 +80,10 @@ def _edit_distance_le(a: str, b: str, n: int) -> bool:
 
 MAX_DOC_TERMS = 256  # U: distinct terms kept per document
 MAX_QUERY_TERMS = 16  # T: scored query terms (first T unique)
-MAX_OP_TERMS = 8  # TR/TN: required / forbidden term slots per query
+# TR/TN: required / forbidden term slots per query.  The parser falls
+# back to the host-AST path when a flat query would overflow these, so
+# the [:MAX_OP_TERMS] packing below never truncates real operator ids.
+MAX_OP_TERMS = query_mod.MAX_OP_TERMS
 
 # phrase queries fetch extra candidates to survive the host-side
 # positional filter

@@ -46,6 +46,10 @@ _TOKEN = re.compile(
 _SUFFIX = re.compile(r"^(?P<body>.*?)(?:(?P<star>\*)|~(?P<fuzz>\d+))$")
 
 MAX_EXPAND = 8  # vocabulary expansions kept per prefix/fuzzy leaf
+# device mask slots per query (the bm25 kernel's TR/TN widths): flat
+# queries needing more required/forbidden ids than this fall back to the
+# host-verified AST path instead of silently truncating the masks
+MAX_OP_TERMS = 8
 
 
 # -- AST ----------------------------------------------------------------------
@@ -260,7 +264,12 @@ def parse(text: str, expander: Expander | None = None) -> ParsedQuery:
     if root is None:
         return q
     _collect_scored(root, q.terms, set())
-    if p.structured or not _flatten(root, q, top=True):
+    if (
+        p.structured
+        or not _flatten(root, q, top=True)
+        or len(q.required) > MAX_OP_TERMS
+        or len(q.forbidden) > MAX_OP_TERMS
+    ):
         # host-verified boolean query; device path scores + overfetches
         q.required.clear()
         q.forbidden.clear()
