@@ -96,15 +96,25 @@ def print_headline(vs_baseline: float | None = None) -> None:
         return
     eligible = [c for c in CANDIDATES if c[2] >= TARGET_RECALL]
     if not eligible:
-        return
+        if not CANDIDATES:
+            return
+        # Recall regression: nothing cleared the bar.  The driver still
+        # needs its ONE JSON line — emit the best-recall candidate and
+        # flag the miss in the metric string rather than exiting silent.
+        eligible = [max(CANDIDATES, key=lambda c: (c[2], c[1]))]
+        log(
+            f"# headline WARNING: no candidate reached recall "
+            f"{TARGET_RECALL}; reporting best-recall fallback"
+        )
     _HEADLINE_DONE.set()
     name, qps, rec = max(eligible, key=lambda c: c[1])
     vs = vs_baseline if vs_baseline is not None else 0.0
     log(f"# headline[{name}]: qps={qps:.0f} recall={rec:.3f} vs_cpu={vs:.1f}x")
+    bar = f">={TARGET_RECALL}" if rec >= TARGET_RECALL else f"={rec:.3f} BELOW BAR"
     print(
         json.dumps(
             {
-                "metric": f"QPS/chip at recall@10>={TARGET_RECALL} ({N}x{D}-d cosine)",
+                "metric": f"QPS/chip at recall@10{bar} ({N}x{D}-d cosine)",
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(vs, 2),
@@ -431,7 +441,9 @@ def bench_ivf(x, queries, exact, timer, fused_ok):
     qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
     log("# config-2 curve (ivf probe sweep, cheapest-first):")
     for probes in PROBE_LADDER:
-        if best_ivf is None and probes != PROBE_LADDER[0] and remaining() < 150:
+        # Reaching any rung past the first means the bar is still
+        # uncleared (the loop breaks on the first clearing rung).
+        if probes != PROBE_LADDER[0] and remaining() < 150:
             log("# ivf sweep truncated (budget) — headline falls back to scan")
             break
         d_, i_ = ivf.search(queries, K, probes=probes)
@@ -703,7 +715,9 @@ def bench_graph(x, queries, exact, timer) -> None:
             blocks=2,
         )
         log(f"#   graph ef={knobs['ef_search']}: recall@10={rec:.3f} qps={qps:.0f}")
-        if best is None or (rec >= TARGET_RECALL and qps > best[1]):
+        if best is None or (
+            rec >= TARGET_RECALL and (best[2] < TARGET_RECALL or qps > best[1])
+        ):
             best = (f"graph-ef{cfg.ef_search}", qps, rec)
     if best:
         log(f"# graph best: {best[0]} recall@10={best[2]:.3f} qps={best[1]:.0f}")

@@ -224,3 +224,39 @@ def test_parser_flat_vs_ast():
     # lenient posture: unbalanced parens still parse
     p = query_mod.parse("((quick brown")
     assert p.terms
+
+
+def test_empty_prefix_leaf_is_lenient():
+    """A prefix token whose body tokenizes to nothing must be dropped
+    (like an unanalyzable fuzzy leaf), not become a never-matching
+    empty Term that nukes the whole AND group."""
+    idx = BM25Index()
+    s0 = idx.add("the quick brown fox")
+    idx.add("unrelated words here")
+    got = {h[0] for h in idx.search(["quick + ,,*"], 5)[0]}
+    assert got == {s0}
+
+
+def test_expansion_side_indexes_match_full_scan():
+    """Prefix bisect + length-bucketed fuzzy give the same answers a
+    full vocab scan would (and survive doc churn that drops df to 0)."""
+    idx = BM25Index()
+    slots = [idx.add(t) for t in ("apple apply", "appliance parts", "banana split")]
+    # full-scan oracle over the vocab dict
+    def oracle_prefix(p):
+        return {
+            t
+            for w, t in idx._vocab.items()
+            if w.startswith(p) and idx._df.get(t, 0) > 0
+        }
+
+    assert set(idx.expand_prefix("appl", 10)) == oracle_prefix("appl")
+    assert set(idx.expand_prefix("zzz", 10)) == set()
+    # remove a doc: its unique terms must stop expanding (df==0 filter)
+    idx.remove(slots[2])
+    assert set(idx.expand_prefix("banan", 10)) == set()
+    # fuzzy: "aple"~1 → apple only (length buckets 3..5)
+    from vector_store_tpu.text import tokenizer
+
+    want = {tokenizer.term_id("apple")}
+    assert set(idx.expand_fuzzy("aple", 1, 10)) == want

@@ -82,3 +82,17 @@ async def test_metrics_endpoint_counts_requests_and_queries():
     finally:
         await c.close()
         await engine.close()
+
+
+def test_label_values_escaped():
+    """User-controlled label values (index ids) with quotes/newlines
+    must not corrupt the exposition payload."""
+    metrics.reset()
+    metrics.counter("vst_esc_total", index='ks.my"x\nback\\slash').inc()
+    text = metrics.render()
+    # the raw newline must not survive into the exposition line, and the
+    # three escapable characters must appear escaped
+    assert 'vst_esc_total{index="ks.my\\"x\\nback\\\\slash"} 1' in text
+    assert all(
+        ln.endswith(("1", "0")) or ln == "" for ln in text.splitlines()
+    ), text

@@ -173,3 +173,14 @@ async def test_engine_ivf_sharded_backend():
     finally:
         handle.close()
         await handle.join()
+
+
+def test_default_factory_routes_ivf_to_sharded():
+    """new_index_factory(n_devices=8) must forward n_devices into the
+    'ivf' kind so a served deployment actually gets the sharded tier
+    (review r3: it built a single-chip IvfIndex while 7 chips idled)."""
+    import vector_store_tpu as vst
+
+    factory = vst.new_index_factory(n_devices=8)
+    for kind in ("ann", "ivf"):
+        assert factory._by_kind[kind].n_devices == 8, kind

@@ -49,7 +49,10 @@ def new_index_factory(
                 exact=True, max_batch=max_batch, window_s=window_s
             ),
             "ivf": AnnIndexFactory(
-                backend="ivf", max_batch=max_batch, window_s=window_s
+                backend="ivf",
+                max_batch=max_batch,
+                window_s=window_s,
+                n_devices=n_devices,
             ),
             "text": TextIndexFactory(window_s=window_s),
         }

@@ -249,12 +249,15 @@ class DriverSession:
         return await self._local_schema_version() if agreed else None
 
     async def check_schema_agreement(self) -> Optional[str]:
-        # non-blocking probe: one agreement check round (db.rs:436-440)
+        # near-instant probe: one agreement check round (db.rs:436-440).
+        # NOTE: the driver treats wait_time<=0 as "skip the check entirely
+        # and return True", so a strictly positive sub-second timeout is
+        # the smallest honest probe.
         loop = asyncio.get_running_loop()
         agreed = await loop.run_in_executor(
             None,
             lambda: self._session.cluster.control_connection.wait_for_schema_agreement(
-                wait_time=0
+                wait_time=0.5
             ),
         )
         return await self._local_schema_version() if agreed else None

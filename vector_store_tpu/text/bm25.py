@@ -188,6 +188,12 @@ class BM25Index:
         self._size = 0
         self._df: Counter = Counter()  # term id → doc frequency (kept terms)
         self._vocab: dict[str, int] = {}  # term string → id (for prefix/fuzzy)
+        # expansion side-indexes: fuzzy scans only the ±dist length
+        # buckets; prefix bisects a lazily re-sorted word list — both
+        # bound per-leaf host work far below O(vocabulary)
+        self._vocab_by_len: dict[int, list[tuple[str, int]]] = {}
+        self._vocab_sorted: list[tuple[str, int]] = []
+        self._vocab_dirty = False
         self._total_len = 0
         # full token sequences (host only) for phrase verification
         self._seqs: list[np.ndarray | None] = []
@@ -217,7 +223,10 @@ class BM25Index:
         words = tokenizer.tokenize(text)
         ids = [tokenizer.term_id(w) for w in words]
         for w, t in zip(words, ids):
-            self._vocab.setdefault(w, t)
+            if w not in self._vocab:
+                self._vocab[w] = t
+                self._vocab_by_len.setdefault(len(w), []).append((w, t))
+                self._vocab_dirty = True
         counts = Counter(ids)
         if len(counts) > MAX_DOC_TERMS:
             kept_pairs = counts.most_common(MAX_DOC_TERMS)
@@ -306,28 +315,38 @@ class BM25Index:
 
     def expand_prefix(self, prefix: str, limit: int) -> list[int]:
         """Live term ids whose stored string starts with `prefix`,
-        most-frequent first (simple_query_string `word*`)."""
+        most-frequent first (simple_query_string `word*`).  Bisects a
+        lazily re-sorted vocab list: O(log V + matches) per leaf."""
         if not prefix:
             return []
+        import bisect
+
+        if self._vocab_dirty:
+            self._vocab_sorted = sorted(self._vocab.items())
+            self._vocab_dirty = False
+        lo = bisect.bisect_left(self._vocab_sorted, (prefix,))
+        hi = bisect.bisect_left(self._vocab_sorted, (prefix[:-1] + chr(ord(prefix[-1]) + 1),))
         hits = [
             (self._df.get(t, 0), t)
-            for w, t in self._vocab.items()
-            if w.startswith(prefix) and self._df.get(t, 0) > 0
+            for w, t in self._vocab_sorted[lo:hi]
+            if self._df.get(t, 0) > 0
         ]
         hits.sort(key=lambda x: -x[0])
         return [t for _, t in hits[:limit]]
 
     def expand_fuzzy(self, word: str, dist: int, limit: int) -> list[int]:
         """Live term ids within edit distance `dist` of `word`
-        (simple_query_string `word~N`)."""
+        (simple_query_string `word~N`).  Scans only the length buckets
+        within ±dist of len(word) — never the whole vocabulary."""
         if not word:
             return []
         hits = []
-        for w, t in self._vocab.items():
-            if abs(len(w) - len(word)) > dist or self._df.get(t, 0) <= 0:
-                continue
-            if _edit_distance_le(word, w, dist):
-                hits.append((self._df.get(t, 0), t))
+        for length in range(max(1, len(word) - dist), len(word) + dist + 1):
+            for w, t in self._vocab_by_len.get(length, ()):
+                if self._df.get(t, 0) <= 0:
+                    continue
+                if _edit_distance_le(word, w, dist):
+                    hits.append((self._df.get(t, 0), t))
         hits.sort(key=lambda x: -x[0])
         return [t for _, t in hits[:limit]]
 

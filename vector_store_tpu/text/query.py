@@ -170,7 +170,12 @@ class _Parser:
                 ids = self.expander.expand_prefix(
                     tokenizer.normalize(body), MAX_EXPAND
                 )
-            return Term(ids) if ids else Term(tokenizer.term_ids(body))
+            if not ids:
+                # fall back to an exact term; if the body itself is
+                # unanalyzable, drop the leaf (lenient, like fuzzy below)
+                # instead of producing a never-matching empty Term.
+                ids = tokenizer.term_ids(body)
+            return Term(ids) if ids else None
         if sfx and sfx.group("fuzz") is not None and sfx.group("body"):
             self.structured = True
             body, dist = sfx.group("body"), int(sfx.group("fuzz"))

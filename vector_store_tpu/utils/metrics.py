@@ -79,8 +79,15 @@ def timed(name: str, **labels):
         histogram(name, **labels).observe(time.time() - t0)
 
 
+def _esc(v) -> str:
+    # Prometheus exposition label-value escaping: \ " and newline.  Label
+    # values can carry user-controlled index ids — unescaped quotes would
+    # corrupt the whole scrape payload.
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(label_items: tuple, extra: str = "") -> str:
-    parts = [f'{k}="{v}"' for k, v in label_items]
+    parts = [f'{k}="{_esc(v)}"' for k, v in label_items]
     if extra:
         parts.append(extra)
     return "{" + ",".join(parts) + "}" if parts else ""
