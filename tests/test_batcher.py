@@ -57,3 +57,18 @@ async def test_batcher_rejects_after_close():
     await b.close()
     with pytest.raises(RuntimeError):
         await b.submit(1)
+
+
+@pytest.mark.asyncio
+async def test_batcher_short_results_fail_loudly():
+    """A flush_fn returning fewer results than items must fail every
+    future in the batch (review r3: zip() silently stranded the rest)."""
+
+    async def run():
+        batcher = MicroBatcher(lambda items: [0] * (len(items) - 1), window_s=0.01)
+        subs = [asyncio.create_task(batcher.submit(i)) for i in range(4)]
+        res = await asyncio.gather(*subs, return_exceptions=True)
+        assert all(isinstance(r, RuntimeError) for r in res), res
+        await batcher.close()
+
+    await asyncio.wait_for(run(), 30)

@@ -146,3 +146,20 @@ def test_sharded_remove_count_integrity(mesh8, rng):
     never_valid = int(1000) * idx.n_shards + 2  # slot 1000 was never written
     idx.remove(np.asarray([never_valid]))
     assert idx.count() == 62
+
+
+def test_sharded_single_row_adds_balance(mesh8, rng):
+    """A stream of single-row add() calls must spread over shards via the
+    rotating cursor (review r3: every call restarted at shard 0)."""
+    idx = ShardedSlotIndex(
+        IndexParams(dimensions=8, space="l2"), mesh=mesh8
+    )
+    for i in range(17):
+        idx.add(rng.normal(size=(1, 8)).astype(np.float32))
+    assert idx.count() == 17
+    assert idx._sizes.max() - idx._sizes.min() <= 1, idx._sizes
+    # gids must still be unique within each query's result list
+    d, ids = idx.search(rng.normal(size=(4, 8)).astype(np.float32), 10)
+    for row in ids:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live), row

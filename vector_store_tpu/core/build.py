@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from . import distance as dist_mod
 from .graph import GraphConfig, GraphState, gather_vectors, store_vectors
 from .search import search_pool
-from .topk import INF, SENTINEL, topk_ascending
+from .topk import INF, SENTINEL, topk_ascending, rank_in_run
 
 # Reverse-edge collision rounds: edges ranked ≥ G per target are dropped
 # (rare; only when many same-batch nodes pick one hub neighbour).
@@ -74,6 +74,21 @@ def _robust_prune(
     R = cfg.degree
     K_near = cfg.n_keep_nearest
     pd = _pairwise_batched(cand_vecs, cfg.space)  # [M, C, C]
+    # comparison-only copies for the alpha rule: dot "distances" (-<a,b>)
+    # can be negative, which inverts the alpha slack — multiplying a
+    # negative LHS by alpha>1 makes domination FIRE MORE, over-pruning
+    # diversity edges.  Shift both sides to non-negative by the
+    # batch-wide minimum so alpha>1 strictly loosens domination, as
+    # intended.  The returned distances stay unshifted.
+    pd_cmp, cd_cmp = pd, cand_dist
+    if cfg.space == "dot":
+        m = jnp.minimum(
+            jnp.min(jnp.where(jnp.isfinite(pd), pd, INF)),
+            jnp.min(jnp.where(jnp.isfinite(cand_dist), cand_dist, INF)),
+        )
+        m = jnp.minimum(m, 0.0)
+        pd_cmp = pd - m
+        cd_cmp = cand_dist - m
 
     def body(carry, t):
         removed, kept, kept_cnt = carry
@@ -88,7 +103,7 @@ def _robust_prune(
         kept = kept.at[:, t].set(can_keep)
         kept_cnt = kept_cnt + can_keep.astype(jnp.int32)
         # α rule: anything dominated by the newly kept candidate is removed.
-        dominated = cfg.prune_alpha * pd[:, t, :] <= cand_dist  # [M, C]
+        dominated = cfg.prune_alpha * pd_cmp[:, t, :] <= cd_cmp  # [M, C]
         removed = removed | (can_keep[:, None] & dominated)
         return (removed, kept, kept_cnt), None
 
@@ -107,16 +122,6 @@ def _robust_prune(
     return top_d, top_i
 
 
-def _rank_in_run(sorted_keys: jnp.ndarray) -> jnp.ndarray:
-    """Rank of each element within its run of equal keys (keys sorted)."""
-    n = sorted_keys.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), sorted_keys[1:] != sorted_keys[:-1]]
-    )
-    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
-    return idx - run_start
-
 
 def _apply_reverse_edges(
     neighbors: jnp.ndarray,  # [C, R]
@@ -134,7 +139,7 @@ def _apply_reverse_edges(
     tgt_s, d_s, src_s, live_s = jax.lax.sort(
         (sort_tgt, d, src, e_live.astype(jnp.int32)), num_keys=2
     )
-    rank = _rank_in_run(tgt_s)
+    rank = rank_in_run(tgt_s)
 
     def round_body(r, carry):
         nbrs, ndist = carry

@@ -41,7 +41,7 @@ import numpy as np
 
 from . import distance as dist_mod
 from .graph import GraphConfig, GraphState, gather_vectors
-from .topk import SENTINEL
+from .topk import SENTINEL, rank_in_run
 
 # Assignment matmul chunk: rows scored against the centroid bank per step.
 ASSIGN_CHUNK = 4096
@@ -72,16 +72,6 @@ def assign(
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-def _rank_in_run(sorted_keys: jnp.ndarray) -> jnp.ndarray:
-    """Rank of each element within its run of equal keys (keys sorted)."""
-    n = sorted_keys.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), sorted_keys[1:] != sorted_keys[:-1]]
-    )
-    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
-    return idx - run_start
-
 
 def ring_assign(
     members: jnp.ndarray,  # [K, Bm] int32
@@ -99,7 +89,7 @@ def ring_assign(
     K, Bm = members.shape
     key = jnp.where(live, cids, jnp.int32(K))  # dead lanes sort last
     key_s, slot_s = jax.lax.sort((key, slots), num_keys=1)
-    rank = _rank_in_run(key_s)
+    rank = rank_in_run(key_s)
     cursor = jnp.take(m_cnt, jnp.clip(key_s, 0, K - 1))
     pos = (cursor + rank) % Bm
     ok = key_s < K

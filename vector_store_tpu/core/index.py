@@ -303,6 +303,18 @@ class SlotIndex:
         rebuild from the source DB (SURVEY §5 checkpoint/resume: none);
         this rebuilds from the index itself.
         """
+        scratch, remap = self.compact_prepare()
+        self.compact_install(scratch)
+        return remap
+
+    def compact_prepare(self) -> tuple["SlotIndex", dict[int, int]]:
+        """Rebuild the live rows into a SCRATCH index offline, without
+        touching the serving state — queries keep seeing the consistent
+        (old state, old slot numbering) pair for the whole rebuild.
+        Returns (scratch, {old_slot: new_slot}); the owner rebinds its
+        keymap and calls compact_install atomically with respect to its
+        query path.  Mutations must not interleave between prepare and
+        install (the actor mailbox serializes them against Compact)."""
         with self._lock:
             state = self._state
             valid = np.asarray(state.valid)
@@ -317,21 +329,35 @@ class SlotIndex:
                     jnp.take(state.scales, jnp.asarray(live_slots, dtype=jnp.int32))
                 )
                 vectors = vectors * scales[:, None]
-            cap = max(
-                1 << int(max(len(live_slots), 1) - 1).bit_length(),
-                2 * self.insert_block,
-            )
-            self.cfg = dataclasses.replace(
-                self.cfg,
-                routing_sample=routing_sample_for(cap),
-                route_k=0,  # router rebuilt from scratch by the re-add
-            )
-            self._route_built_at = 0
-            self._state = graph.init(self.cfg, cap)
+            cfg = self.cfg
+        cap = max(
+            1 << int(max(len(live_slots), 1) - 1).bit_length(),
+            2 * self.insert_block,
+        )
+        new_cfg = dataclasses.replace(
+            cfg,
+            routing_sample=routing_sample_for(cap),
+            route_k=0,  # router rebuilt from scratch by the re-add
+        )
+        scratch = SlotIndex.restore(
+            self.params,
+            new_cfg,
+            graph.init(new_cfg, cap),
+            self._exact,
+            self.insert_block,
+        )
+        scratch._route_built_at = 0
         # note: vectors are already preprocessed (unit-norm for cosine);
         # re-preprocessing is idempotent for all supported spaces
-        new_slots = self.add(vectors)
-        return {int(o): int(n) for o, n in zip(live_slots, new_slots)}
+        new_slots = scratch.add(vectors)
+        return scratch, {int(o): int(n) for o, n in zip(live_slots, new_slots)}
+
+    def compact_install(self, scratch: "SlotIndex") -> None:
+        """Swap in the state prepared by compact_prepare."""
+        with self._lock:
+            self.cfg = scratch.cfg
+            self._state = scratch._state
+            self._route_built_at = scratch._route_built_at
 
     def remove(self, slots: np.ndarray) -> None:
         # dedup: a slot repeated in one batch would double-decrement the

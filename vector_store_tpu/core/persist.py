@@ -26,8 +26,19 @@ FORMAT_VERSION = 1
 
 
 def save(path: str, index: SlotIndex, keymap_blob: Optional[dict] = None) -> None:
-    """Snapshot a SlotIndex (and optionally the engine's key map) to npz."""
-    state = index.state
+    """Snapshot a SlotIndex (and optionally the engine's key map) to npz.
+
+    Holds the index lock for the whole snapshot: insert donates the
+    previous state buffers to XLA, so an unlocked read during live
+    ingest can touch deleted arrays or tear frontier vs. bank."""
+    with index._lock:
+        _save_locked(path, index, keymap_blob)
+
+
+def _save_locked(
+    path: str, index: SlotIndex, keymap_blob: Optional[dict]
+) -> None:
+    state = index._state
     meta = {
         "format": FORMAT_VERSION,
         "params": asdict(index.params),

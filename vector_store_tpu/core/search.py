@@ -35,6 +35,12 @@ def _init_pool(
     P = cfg.ef_search
     e_dist, e_ids = routing_entries(state, queries, cfg)  # [Q, E]
     E = e_ids.shape[1]
+    if E > P:
+        # ef_search < entry_points: keep the best P entries rather than
+        # crash jnp.pad with a negative width deep inside the trace
+        e_dist, pos = topk_ascending(e_dist, P)
+        e_ids = jnp.take_along_axis(e_ids, pos, axis=-1)
+        E = P
     pad = P - E
     pool_dist = jnp.pad(e_dist, ((0, 0), (0, pad)), constant_values=jnp.inf)
     pool_ids = jnp.pad(e_ids, ((0, 0), (0, pad)), constant_values=2**31 - 1)

@@ -145,3 +145,18 @@ def merge_pool(
     top_i = jnp.take_along_axis(ids_s, pos, axis=-1)
     top_e = jnp.take_along_axis(exp_s, pos, axis=-1)
     return top_d, top_i, top_e
+
+
+def rank_in_run(sorted_keys: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each element within its run of equal keys (keys sorted).
+
+    Shared by the reverse-edge scatter (build.py) and the ring-assign
+    scatter (cluster.py): both need a per-duplicate offset to turn a
+    sorted key stream into conflict-free scatter positions."""
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    return idx - run_start

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import threading
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -107,6 +108,10 @@ class AnnIndexBackend:
         )
         self._loop = asyncio.get_running_loop()
         self._inflight: set[asyncio.Task] = set()
+        # pairs (index state, keymap) atomically between the query flush
+        # thread and the compaction swap: a query must never map NEW
+        # slots through the OLD keymap (or vice versa)
+        self._serve_lock = threading.Lock()
 
     # -- device-side batch execution (worker thread) ----------------------
 
@@ -117,22 +122,26 @@ class AnnIndexBackend:
         metrics.counter("vst_ann_queries_total", index=str(self.index_id)).inc(
             len(items)
         )
-        with metrics.timed(
-            "vst_ann_batch_seconds", backend=type(self.index).__name__
-        ):
-            dist, slots = self.index.search(queries, k_max)
-        out = []
-        for j, (_, k) in enumerate(items):
-            keys, dists = [], []
-            for s, d in zip(slots[j][:k], dist[j][:k]):
-                if s < 0:
-                    continue
-                key = self.keymap.key_of(int(s))
-                if key is None:
-                    continue  # slot tombstoned between search and mapping
-                keys.append(key)
-                dists.append(float(d))
-            out.append((keys, dists))
+        # the serve lock spans BOTH the search and the slot→key mapping:
+        # slots from the pre-compact state must never map through the
+        # post-compact keymap (and vice versa)
+        with self._serve_lock:
+            with metrics.timed(
+                "vst_ann_batch_seconds", backend=type(self.index).__name__
+            ):
+                dist, slots = self.index.search(queries, k_max)
+            out = []
+            for j, (_, k) in enumerate(items):
+                keys, dists = [], []
+                for s, d in zip(slots[j][:k], dist[j][:k]):
+                    if s < 0:
+                        continue
+                    key = self.keymap.key_of(int(s))
+                    if key is None:
+                        continue  # slot tombstoned between search and mapping
+                    keys.append(key)
+                    dists.append(float(d))
+                out.append((keys, dists))
         return out
 
     def _apply_upserts(self, batch: list[tuple[PrimaryKey, np.ndarray]]) -> None:
@@ -269,18 +278,32 @@ class AnnIndexBackend:
         elif isinstance(msg, Compact):
             if not hasattr(self.index, "compact"):
                 raise TypeError("backend does not support compaction")
-            remap = await self._loop.run_in_executor(None, self.index.compact)
-            if remap:
-                # rebind every key to its post-compaction slot (graph
-                # backend moves rows; the IVF backend's ids are stable and
-                # its compact() returns {} — keymap untouched)
+            if hasattr(self.index, "compact_prepare"):
+                # slot-moving backends (graph/exact): rebuild OFFLINE
+                # while queries keep serving the old (state, keymap)
+                # pair, then swap state + keymap in one serve-lock
+                # critical section (the rebuild runs in an executor; the
+                # install is a cheap pointer swap)
+                scratch, remap = await self._loop.run_in_executor(
+                    None, self.index.compact_prepare
+                )
                 keys = [
                     (self.keymap.key_of(old), new) for old, new in remap.items()
                 ]
-                self.keymap = KeyMap()
+                new_keymap = KeyMap()
                 for key, new in keys:
                     if key is not None:
-                        self.keymap.bind(key, new)
+                        new_keymap.bind(key, new)
+                with self._serve_lock:
+                    self.index.compact_install(scratch)
+                    self.keymap = new_keymap
+            else:
+                # id-stable backends (IVF): compact() recluters under the
+                # index's own lock and returns {} — keymap untouched
+                remap = await self._loop.run_in_executor(
+                    None, self.index.compact
+                )
+                assert not remap, "id-stable backend returned a remap"
             msg.reply.set_result(self.index.count())
         elif isinstance(msg, (Add, Search)):
             raise TypeError("ANN index does not serve the text protocol")

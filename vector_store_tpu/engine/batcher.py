@@ -76,6 +76,13 @@ class MicroBatcher:
                 results = await loop.run_in_executor(
                     None, self._flush_fn, items
                 )
+                if len(results) != len(batch):
+                    # zip() would silently strand the unmatched futures
+                    # forever; fail the whole batch loudly instead
+                    raise RuntimeError(
+                        f"flush_fn returned {len(results)} results "
+                        f"for {len(batch)} items"
+                    )
                 for (_, fut), res in zip(batch, results):
                     if not fut.done():
                         fut.set_result(res)

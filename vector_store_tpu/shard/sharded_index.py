@@ -326,6 +326,7 @@ class ShardedSlotIndex:
         self._frontiers = np.zeros((self.n_shards,), dtype=np.int64)
         self._sizes = np.zeros((self.n_shards,), dtype=np.int64)
         self._route_built_at = 0  # max per-shard frontier at last build
+        self._rr = 0  # rotating round-robin start shard (persists across adds)
         self._lock = threading.Lock()
 
     # -- introspection ----------------------------------------------------
@@ -397,10 +398,12 @@ class ShardedSlotIndex:
             while done < n:
                 take = min(n - done, S * INSERT_BLOCK)
                 chunk = vectors[done : done + take]
-                # round-robin deal into S sub-batches
-                per = [chunk[s::S] for s in range(S)]
-                m = max(len(p) for p in per)
-                self._ensure_capacity(m)
+                # rotated round-robin deal: the start shard advances with
+                # every row ever dealt, so a stream of single-document
+                # upserts (take=1 per call) spreads across shards instead
+                # of piling onto shard 0
+                s0 = self._rr
+                self._ensure_capacity(-(-take // S))
                 tdt = np.float32
                 if self.cfg.dtype != "float32":
                     import ml_dtypes
@@ -409,10 +412,14 @@ class ShardedSlotIndex:
                 vecs = np.zeros((S, INSERT_BLOCK, d), dtype=tdt)
                 live = np.zeros((S, INSERT_BLOCK), dtype=bool)
                 bases = self._frontiers.astype(np.int32)
-                for s, p in enumerate(per):
+                counts = [0] * S
+                for j in range(S):
+                    s = (s0 + j) % S
+                    p = chunk[j::S]
+                    counts[s] = len(p)
                     vecs[s, : len(p)] = p
                     live[s, : len(p)] = True
-                    gids[done + s : done + take : S] = (
+                    gids[done + j : done + take : S] = (
                         bases[s] + np.arange(len(p))
                     ) * np.int64(S) + s
                 self._state = _sharded_insert(
@@ -424,9 +431,10 @@ class ShardedSlotIndex:
                     self._holder,
                     exact=self._exact,
                 )
-                for s, p in enumerate(per):
-                    self._frontiers[s] += len(p)
-                    self._sizes[s] += len(p)
+                for s in range(S):
+                    self._frontiers[s] += counts[s]
+                    self._sizes[s] += counts[s]
+                self._rr = (s0 + take) % S
                 done += take
                 self._maybe_rebuild_router_locked()
             # end-of-call staleness bound, mirroring SlotIndex.add: a
@@ -563,6 +571,15 @@ class ShardedSlotIndex:
         """Reclaim tombstoned rows across all shards: rebuild from live
         rows, returning {old_gid: new_gid} for the owner's keymap (same
         contract as SlotIndex.compact)."""
+        scratch, remap = self.compact_prepare()
+        self.compact_install(scratch)
+        return remap
+
+    def compact_prepare(self) -> tuple["ShardedSlotIndex", dict[int, int]]:
+        """Rebuild live rows into a SCRATCH sharded index offline; the
+        serving state stays untouched so concurrent queries see the
+        consistent (old state, old gid numbering) pair throughout.  Same
+        prepare/install contract as SlotIndex.compact_prepare."""
         import dataclasses as _dc
 
         from ..core.index import routing_sample_for
@@ -597,18 +614,37 @@ class ShardedSlotIndex:
             cap = max(
                 1 << max(len(vectors) // S, 1).bit_length(), 2 * INSERT_BLOCK
             )
-            self.cfg = _dc.replace(
+            new_cfg = _dc.replace(
                 self.cfg,
                 routing_sample=routing_sample_for(cap),
                 route_k=0,  # router rebuilt from scratch by the re-add
             )
-            self._route_built_at = 0
-            self._state = _stack_init(self.cfg, S, cap, self.mesh)
-            self._frontiers[:] = 0
-            self._sizes[:] = 0
+        scratch = ShardedSlotIndex.__new__(ShardedSlotIndex)
+        scratch.params = self.params
+        scratch.mesh = self.mesh
+        scratch._holder = self._holder
+        scratch.n_shards = S
+        scratch.cfg = new_cfg
+        scratch._exact = self._exact
+        scratch._state = _stack_init(new_cfg, S, cap, self.mesh)
+        scratch._frontiers = np.zeros((S,), dtype=np.int64)
+        scratch._sizes = np.zeros((S,), dtype=np.int64)
+        scratch._route_built_at = 0
+        scratch._rr = 0
+        scratch._lock = threading.Lock()
         # vectors are stored preprocessed; re-preprocessing is idempotent
-        new_gids = self.add(vectors)
-        return {int(o): int(n) for o, n in zip(old_gids, new_gids)}
+        new_gids = scratch.add(vectors)
+        return scratch, {int(o): int(n) for o, n in zip(old_gids, new_gids)}
+
+    def compact_install(self, scratch: "ShardedSlotIndex") -> None:
+        """Swap in the state prepared by compact_prepare."""
+        with self._lock:
+            self.cfg = scratch.cfg
+            self._state = scratch._state
+            self._frontiers = scratch._frontiers
+            self._sizes = scratch._sizes
+            self._route_built_at = scratch._route_built_at
+            self._rr = scratch._rr
 
     # -- persistence ---------------------------------------------------------
 
@@ -619,6 +655,13 @@ class ShardedSlotIndex:
         import json
         from dataclasses import asdict
 
+        # under the index lock: _sharded_insert donates the previous
+        # state buffers, so an unlocked snapshot during live ingest reads
+        # deleted arrays (or frontiers that disagree with the bank)
+        with self._lock:
+            self._save_locked(path, json, asdict)
+
+    def _save_locked(self, path: str, json, asdict) -> None:
         s = self._state
         meta = {
             "format": 1,
@@ -679,6 +722,7 @@ class ShardedSlotIndex:
             idx._frontiers = np.asarray(meta["frontiers"], dtype=np.int64)
             idx._sizes = np.asarray(meta["sizes"], dtype=np.int64)
             idx._route_built_at = meta.get("route_built_at", 0)
+            idx._rr = int(idx._frontiers.sum() % idx.n_shards)
             idx._lock = threading.Lock()
             sh = NamedSharding(idx.mesh, P(SHARD_AXIS))
             put = lambda a: jax.device_put(jnp.asarray(a), sh)  # noqa: E731
