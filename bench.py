@@ -30,7 +30,9 @@ single-core build takes hours at 1M — delete the file to re-measure.
 
 Env knobs: VST_BENCH_N (corpus size, default 1M), VST_BENCH_Q (queries,
 default 2048), VST_BENCH_BUDGET_S (wall budget, default 1200),
-VST_BENCH_SKIP_BASELINE=1, VST_BENCH_LITE=1 (headline path only).
+VST_BENCH_SKIP_BASELINE=1, VST_BENCH_LITE=1 (headline path only),
+VST_BENCH_PLATFORM=cpu (force a jax backend for smoke runs — plain
+JAX_PLATFORMS is too late once sitecustomize registers the TPU plugin).
 """
 
 from __future__ import annotations
@@ -999,6 +1001,14 @@ def cpu_baseline_qps(x, queries) -> float:
 
 
 def main() -> None:
+    if os.environ.get("VST_BENCH_PLATFORM"):
+        # CPU smoke runs: the env's sitecustomize registers the remote-TPU
+        # plugin at startup, so JAX_PLATFORMS=cpu alone is too late (same
+        # trap tests/conftest.py documents) — force it through jax.config
+        # before the first backend-resolving call
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["VST_BENCH_PLATFORM"])
     log(f"# bench: N={N} D={D} Q={Q} budget={BUDGET_S:.0f}s")
     signal.signal(signal.SIGTERM, _on_term)
     threading.Thread(target=_watchdog, daemon=True, name="headline-watchdog").start()

@@ -246,3 +246,51 @@ async def test_auto_kind_routes_by_capacity():
 
 async def _count_is(handle, n: int) -> bool:
     return await handle.count() == n
+
+
+@pytest.mark.asyncio
+async def test_queries_race_compaction():
+    """Queries concurrent with Compact must never mix the old keymap
+    with the new slot numbering (or vice versa).
+
+    Regression for the round-3 offline-compact change: the backend now
+    rebuilds into a scratch index and swaps (state, keymap) atomically
+    under a serve lock; a query landing anywhere around the swap must
+    still resolve every hit to the correct primary key."""
+    engine = await new_engine(AnnIndexFactory())
+    await engine.add_index(meta("ks.race", dims=8))
+    actor = await engine.get_index(IndexId("ks.race"))
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(96, 8)).astype(np.float32)
+    for i in range(96):
+        await actor.add_or_replace((i,), vecs[i])
+    await poll_until(lambda: _eq(actor.count(), 96))
+    # tombstone a third so compaction genuinely moves slots
+    for i in range(0, 96, 3):
+        await actor.remove((i,))
+    await poll_until(lambda: _eq(actor.count(), 64))
+
+    live = [i for i in range(96) if i % 3 != 0]
+    stop = asyncio.Event()
+    failures: list[str] = []
+
+    async def query_storm():
+        j = 0
+        while not stop.is_set():
+            i = live[j % len(live)]
+            keys, _ = await actor.ann(vecs[i], Limit(1))
+            if keys != [(i,)]:
+                failures.append(f"query {i} -> {keys}")
+            j += 1
+            await asyncio.sleep(0)
+
+    storms = [asyncio.create_task(query_storm()) for _ in range(4)]
+    try:
+        for _ in range(3):
+            n = await asyncio.wait_for(actor.compact(), 120)
+            assert n == 64, n
+    finally:
+        stop.set()
+        await asyncio.gather(*storms, return_exceptions=True)
+        await engine.close()
+    assert not failures, failures[:5]
