@@ -73,24 +73,38 @@ def _drive(
         assert idx.count() == len(model), f"step {step} ({op})"
 
         if model and step % 4 == 0:
-            # probe a random live vector: its own id must be top-1, and
-            # no dead id may ever surface
+            # probe a random live vector: its own id must tie the best
+            # distance, and no dead id may ever surface.  Tie-tolerant on
+            # purpose: two live rows CAN hold bit-identical vectors (a
+            # soak run that seeds the bank and the churn stream from the
+            # same rng seed re-draws the same gaussians), and either of a
+            # distance-0 pair may legitimately sort first.
             probe_id = int(rng.choice(list(model)))
             q = model[probe_id]
             k = min(5, len(model))
-            _, ids_g = idx.search(q, k)
+            d_g, ids_g = idx.search(q, k)
+            d_g = np.atleast_2d(np.asarray(d_g))[0]
             ids_g = np.atleast_2d(ids_g)[0]
             if strict_top1:
-                assert int(ids_g[0]) == probe_id, f"step {step}"
+                assert _self_hit(ids_g, d_g, probe_id), f"step {step}"
             for s in ids_g:
                 assert s == -1 or int(s) in model, (
                     f"step {step}: dead/unknown id {s} returned"
                 )
             if hasattr(idx, "exact_search"):
-                _, ids_e = idx.exact_search(q, k)
+                d_e, ids_e = idx.exact_search(q, k)
+                d_e = np.atleast_2d(np.asarray(d_e))[0]
                 ids_e = np.atleast_2d(ids_e)[0]
-                assert int(ids_e[0]) == probe_id
+                assert _self_hit(ids_e, d_e, probe_id), (
+                    f"step {step}: exact oracle {ids_e.tolist()}"
+                )
     return model, remap_total
+
+
+def _self_hit(ids: np.ndarray, dists: np.ndarray, probe_id: int) -> bool:
+    """True iff probe_id is in the results with a distance tying the best."""
+    pos = np.flatnonzero(ids == probe_id)
+    return pos.size > 0 and dists[pos[0]] <= dists[0] + 1e-5
 
 
 @pytest.mark.parametrize("seed", [1, 7])
