@@ -260,3 +260,44 @@ def test_expansion_side_indexes_match_full_scan():
 
     want = {tokenizer.term_id("apple")}
     assert set(idx.expand_fuzzy("aple", 1, 10)) == want
+
+
+def test_bm25_random_churn_matches_oracle():
+    """Property fuzz: random doc churn + random queries stay score-exact
+    vs the numpy oracle (df/avg-length bookkeeping under add/remove)."""
+    rng = np.random.default_rng(17)
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    ]
+    idx = BM25Index()
+    live: dict[int, str] = {}
+    for step in range(40):
+        if live and rng.random() < 0.35:
+            for slot in rng.choice(list(live), size=min(2, len(live)), replace=False):
+                idx.remove(int(slot))
+                live.pop(int(slot))
+        else:
+            for _ in range(int(rng.integers(1, 4))):
+                words = rng.choice(vocab, size=int(rng.integers(2, 9)), replace=True)
+                text = " ".join(words)
+                live[idx.add(text)] = text
+        if not live or step % 3:
+            continue
+        q = " ".join(rng.choice(vocab, size=int(rng.integers(1, 4)), replace=False))
+        k = min(5, len(live))
+        got = idx.search([q], k)[0]
+        slots = sorted(live)
+        want = np_bm25([live[s] for s in slots], q)
+        by_slot = {s: want[j] for j, s in enumerate(slots)}
+        # every returned slot is live with the oracle's exact score, and
+        # the returned set ties the oracle's k-th best (tie-tolerant)
+        for slot, score in got:
+            assert slot in live, f"step {step}: dead slot {slot}"
+            np.testing.assert_allclose(score, by_slot[slot], rtol=1e-3, atol=1e-5)
+        scores = sorted(want, reverse=True)
+        kth = scores[k - 1] if len(scores) >= k else 0.0
+        returned = [s for _, s in got]
+        assert all(
+            s >= kth - 1e-4 for s in returned
+        ), f"step {step}: sub-k result {returned} vs kth={kth}"
