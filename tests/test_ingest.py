@@ -120,3 +120,52 @@ async def test_full_pipeline_on_memdb():
         await mon.stop()
         await db.close_streams()
         await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_pipeline_random_churn_converges():
+    """Randomized upsert/delete storm (with out-of-order timestamps)
+    through the memdb CDC path: the index must converge to exactly the
+    DB's LWW-resolved live rows, and every live key must self-lookup."""
+    from vector_store_tpu.types import IndexParams
+
+    db = MemDb()
+    engine = await new_engine(AnnIndexFactory())
+    mon = MonitorIndexes(db, engine, tick_s=0.01)
+    mon.spawn()
+    rng = np.random.default_rng(23)
+    d = 8
+    try:
+        db.add_table("t", ("id",), d)
+        db.add_index("ks.fz", "t", IndexParams(dimensions=d, space="l2"))
+        vecs: dict = {}
+        for step in range(120):
+            key = (int(rng.integers(0, 40)),)
+            if rng.random() < 0.25 and vecs:
+                await db.delete_values("t", key)
+            else:
+                v = rng.normal(size=(d,)).astype(np.float32)
+                ts = None
+                if rng.random() < 0.2:
+                    # stale write: must lose LWW against any prior write
+                    ts = Timestamp(1)
+                await db.insert_values("t", key, v, timestamp=ts)
+        # expected state from the db's own LWW store
+        live = {
+            k: r.embedding
+            for k, r in db._tables["t"].rows.items()
+            if r.embedding is not None
+        }
+        async with asyncio.timeout(60):
+            while (await engine.get_index_ids()) == []:
+                await asyncio.sleep(0)
+            actor = await engine.get_index(IndexId("ks.fz"))
+            while await actor.count() != len(live):
+                await asyncio.sleep(0.01)
+        for key in list(live)[:10]:
+            keys, dists = await actor.ann(live[key], Limit(1))
+            assert keys == [key], f"{key} self-lookup -> {keys}"
+    finally:
+        await mon.stop()
+        await db.close_streams()
+        await engine.close()
