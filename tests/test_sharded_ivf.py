@@ -184,3 +184,26 @@ def test_default_factory_routes_ivf_to_sharded():
     factory = vst.new_index_factory(n_devices=8)
     for kind in ("ann", "ivf"):
         assert factory._by_kind[kind].n_devices == 8, kind
+
+
+def test_sharded_ivf_single_row_adds_balance():
+    """A stream of single-row add() calls must spread over shards via the
+    rotating cursor (same fix as ShardedSlotIndex: every call previously
+    restarted the deal at shard 0)."""
+    d = 8
+    idx = ShardedIvfIndex(
+        IndexParams(dimensions=d, space="l2"), n_devices=8, cluster_min=10_000
+    )
+    rng = np.random.default_rng(3)
+    gids = []
+    for _ in range(17):
+        gids.extend(idx.add(rng.normal(size=(1, d)).astype(np.float32)))
+    assert idx.count() == 17
+    sizes = [b.n_live for b in idx._books]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    assert len(set(int(g) for g in gids)) == 17
+    # every row still self-looks-up through the staging scan
+    d_, ids = idx.search(
+        np.stack([rng.normal(size=(d,)) for _ in range(2)]).astype(np.float32), 5
+    )
+    assert ids.shape == (2, 5)

@@ -361,6 +361,7 @@ class ShardedIvfIndex:
         self._books = [_ShardBook(k, b) for _ in range(self.n_shards)]
         self._clustered = False
         self._clustered_at = 0
+        self._rr = 0  # rotating round-robin start shard (persists across adds)
         self._lock = threading.Lock()
 
     # -- introspection ------------------------------------------------------
@@ -437,12 +438,18 @@ class ShardedIvfIndex:
             while done < n:
                 take = min(n - done, S * self.INGEST_CHUNK)
                 chunk = vectors[done : done + take]
-                per = [chunk[s::S] for s in range(S)]
-                m = max(len(p) for p in per)
+                # rotated round-robin deal (same fix as ShardedSlotIndex):
+                # the start shard advances with every row ever dealt, so a
+                # stream of single-document upserts (take=1 per call)
+                # spreads across shards instead of piling onto shard 0
+                s0 = self._rr
+                m = -(-take // S)
                 vecs = np.zeros((S, m, d), dtype=tdt)
                 rids = np.full((S, m), int(SENTINEL), dtype=np.int32)
                 lens = np.zeros((S,), dtype=np.int64)
-                for s, p in enumerate(per):
+                for j in range(S):
+                    s = (s0 + j) % S
+                    p = chunk[j::S]
                     vecs[s, : len(p)] = p
                     lens[s] = len(p)
                     book = self._books[s]
@@ -450,13 +457,14 @@ class ShardedIvfIndex:
                     local = book.next_rowid + np.arange(len(p))
                     book.next_rowid += len(p)
                     rids[s, : len(p)] = local
-                    gids[done + s : done + take : S] = local * np.int64(S) + s
+                    gids[done + j : done + take : S] = local * np.int64(S) + s
                 if self._clustered:
                     self._add_clustered(vecs, rids, lens)
                 else:
                     self._add_staging(vecs, rids, lens)
                 for s in range(S):
                     self._books[s].n_live += int(lens[s])
+                self._rr = (s0 + take) % S
                 done += take
             self._maybe_recluster()
         return gids
@@ -883,6 +891,8 @@ class ShardedIvfIndex:
             idx._clustered = meta["clustered"]
             idx._clustered_at = meta["clustered_at"]
             idx._lock = threading.Lock()
+            # rotating-deal cursor: resume from the total rows ever dealt
+            idx._rr = 0  # books rebuilt below; set after next_rowid is known
             valid = np.asarray(z["valid"])  # [S, K, B]
             rowid = np.asarray(z["rowid"])
             n_used = np.asarray(z["n_used"])
@@ -907,6 +917,9 @@ class ShardedIvfIndex:
                 book.loc[live_ids, 0] = ks
                 book.loc[live_ids, 1] = poss
                 idx._books.append(book)
+            idx._rr = int(
+                sum(b.next_rowid for b in idx._books) % idx.n_shards
+            )
             sh = NamedSharding(idx.mesh, P(SHARD_AXIS))
             put = lambda a: jax.device_put(jnp.asarray(a), sh)  # noqa: E731
             idx._state = IvfState(
