@@ -154,9 +154,14 @@ def test_sharded_single_row_adds_balance(mesh8, rng):
     idx = ShardedSlotIndex(
         IndexParams(dimensions=8, space="l2"), mesh=mesh8
     )
-    for i in range(17):
+    # 9 single-row adds over 8 shards: the rotating deal leaves every
+    # shard with 1 row and one shard with 2; the pre-fix behavior
+    # (restart at shard 0 every call) would pile all 9 onto shard 0.
+    # (kept small: each add is a full shard_map dispatch, and the 1-core
+    # CI box pays seconds of scheduler stall per dispatch)
+    for i in range(9):
         idx.add(rng.normal(size=(1, 8)).astype(np.float32))
-    assert idx.count() == 17
+    assert idx.count() == 9
     assert idx._sizes.max() - idx._sizes.min() <= 1, idx._sizes
     # gids must still be unique within each query's result list
     d, ids = idx.search(rng.normal(size=(4, 8)).astype(np.float32), 10)
