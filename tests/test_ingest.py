@@ -124,24 +124,29 @@ async def test_full_pipeline_on_memdb():
 
 @pytest.mark.asyncio
 async def test_pipeline_random_churn_converges():
+    await churn_converges_once(23)
+
+
+async def churn_converges_once(seed: int) -> None:
     """Randomized upsert/delete storm (with out-of-order timestamps)
     through the memdb CDC path: the index must converge to exactly the
-    DB's LWW-resolved live rows, and every live key must self-lookup."""
+    DB's LWW-resolved live rows, and every live key must self-lookup.
+    (Seed-parameterized so scripts/fuzz_soak.py can loop fresh seeds.)"""
     from vector_store_tpu.types import IndexParams
 
     db = MemDb()
     engine = await new_engine(AnnIndexFactory())
     mon = MonitorIndexes(db, engine, tick_s=0.01)
     mon.spawn()
-    rng = np.random.default_rng(23)
+    rng = np.random.default_rng(seed)
     d = 8
     try:
         db.add_table("t", ("id",), d)
         db.add_index("ks.fz", "t", IndexParams(dimensions=d, space="l2"))
-        vecs: dict = {}
+        inserted: set = set()
         for step in range(120):
             key = (int(rng.integers(0, 40)),)
-            if rng.random() < 0.25 and vecs:
+            if rng.random() < 0.25 and key in inserted:
                 await db.delete_values("t", key)
             else:
                 v = rng.normal(size=(d,)).astype(np.float32)
@@ -150,6 +155,7 @@ async def test_pipeline_random_churn_converges():
                     # stale write: must lose LWW against any prior write
                     ts = Timestamp(1)
                 await db.insert_values("t", key, v, timestamp=ts)
+                inserted.add(key)
         # expected state from the db's own LWW store
         live = {
             k: r.embedding
