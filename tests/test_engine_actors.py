@@ -294,3 +294,36 @@ async def test_queries_race_compaction():
         await asyncio.gather(*storms, return_exceptions=True)
         await engine.close()
     assert not failures, failures[:5]
+
+
+@pytest.mark.asyncio
+async def test_close_with_full_mailbox_still_terminates():
+    """close() while the mailbox is at capacity must not raise QueueFull
+    (pre-fix it did, leaking the actor forever with no sentinel queued);
+    every message already accepted must still be processed, and the
+    actor must then terminate."""
+    from vector_store_tpu.engine.actor import (
+        MAILBOX_CAPACITY,
+        spawn_index_actor,
+    )
+
+    gate = asyncio.Event()
+    seen: list[int] = []
+
+    async def process(msg: int) -> None:
+        await gate.wait()
+        seen.append(msg)
+
+    actor = spawn_index_actor(process, name="ks.full")
+    # msg 0 is dequeued and blocks in process; 1..CAP fill the mailbox
+    for i in range(MAILBOX_CAPACITY + 1):
+        await asyncio.wait_for(actor._send(i), 5)
+        await asyncio.sleep(0)
+
+    actor.close()  # mailbox is full here
+    with pytest.raises(RuntimeError, match="closed"):
+        await actor._send(99)
+
+    gate.set()
+    await asyncio.wait_for(actor.join(), 10)
+    assert seen == list(range(MAILBOX_CAPACITY + 1)), seen

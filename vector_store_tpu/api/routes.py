@@ -110,7 +110,12 @@ async def post_text_add(request: web.Request) -> web.Response:
     if index is None:
         return _json_error(404)
     body = await request.json()
-    await index.add((body["id"],), body["text"])
+    try:
+        await index.add((body["id"],), body["text"])
+    except Exception as exc:  # noqa: BLE001 — e.g. handle closed by a
+        # racing PUT recreate; keep the JSON 500 body, not aiohttp's
+        # default error page
+        return _json_error(500, f"index.add request error: {exc}")
     return web.Response(status=200)
 
 
@@ -247,7 +252,10 @@ async def get_count(request: web.Request) -> web.Response:
     index = await _get_index(request, _index_id(request))
     if index is None:
         return _json_error(404)
-    return web.json_response(await index.count())
+    try:
+        return web.json_response(await index.count())
+    except Exception as exc:  # noqa: BLE001 — e.g. racing recreate
+        return _json_error(500, f"index.count request error: {exc}")
 
 
 def _primary_key(raw, index) -> tuple:
@@ -289,6 +297,8 @@ async def post_ann_add(request: web.Request) -> web.Response:
         await index.add_or_replace(key, embedding)
     except ValueError as exc:
         return _json_error(400, str(exc))
+    except Exception as exc:  # noqa: BLE001 — e.g. racing recreate
+        return _json_error(500, f"index.add request error: {exc}")
     return web.Response(status=200)
 
 
@@ -301,7 +311,10 @@ async def post_ann_remove(request: web.Request) -> web.Response:
         key = _primary_key(body["primary_key"], index)
     except ValueError as exc:
         return _json_error(400, str(exc))
-    await index.remove(key)
+    try:
+        await index.remove(key)
+    except Exception as exc:  # noqa: BLE001 — e.g. racing recreate
+        return _json_error(500, f"index.remove request error: {exc}")
     return web.Response(status=200)
 
 

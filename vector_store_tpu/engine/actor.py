@@ -129,7 +129,15 @@ class IndexHandle:
         """Drop the sender: actor drains its mailbox and terminates."""
         if not self._closed:
             self._closed = True
-            self._queue.put_nowait(_CLOSE)
+            try:
+                self._queue.put_nowait(_CLOSE)
+            except asyncio.QueueFull:
+                # mailbox full: the loop is still draining it — deliver
+                # the sentinel as soon as a slot frees (a bare raise here
+                # would leak the actor forever)
+                asyncio.get_running_loop().create_task(
+                    self._queue.put(_CLOSE)
+                )
 
     async def join(self) -> None:
         await self._task
@@ -244,6 +252,29 @@ def spawn_index_actor(process, name: str = "index") -> IndexHandle:
                         log.exception(
                             "actor %s: error processing %s", name, m
                         )
+        # Fail anything that slipped in behind the sentinel: a _send that
+        # passed the closed-check and was awaiting a mailbox slot when
+        # close() landed enqueues AFTER _CLOSE — without this drain its
+        # reply future would hang forever.  A couple of event-loop turns
+        # let every such pending put() complete (each get_nowait below
+        # wakes one blocked putter); new sends fail on the closed flag.
+        for _ in range(3):
+            while True:
+                try:
+                    m = queue.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                if m is _CLOSE:
+                    continue
+                replies = getattr(m, "replies", None) or [
+                    getattr(m, "reply", None)
+                ]
+                for reply in replies:
+                    if reply is not None and not reply.done():
+                        reply.set_exception(
+                            RuntimeError("index handle closed")
+                        )
+            await asyncio.sleep(0)
         shutdown = getattr(process, "shutdown", None)
         if shutdown is not None:
             await shutdown()
