@@ -294,6 +294,16 @@ async def post_ann_add(request: web.Request) -> web.Response:
     embedding = np.asarray(body["embedding"], dtype=np.float32)
     try:
         key = _primary_key(body["primary_key"], index)
+        # the actor's AddOrReplace is fire-and-forget (parity with
+        # usearch.rs:148-153, no ack channel), so a dims mismatch there
+        # would only be logged — reject it here while the client is
+        # still listening
+        dims = getattr(getattr(index.metadata, "params", None), "dimensions", None)
+        if dims is not None and embedding.shape != (dims,):
+            raise ValueError(
+                f"expected embedding of {dims} dimensions, "
+                f"got shape {embedding.shape}"
+            )
         await index.add_or_replace(key, embedding)
     except ValueError as exc:
         return _json_error(400, str(exc))
@@ -374,6 +384,33 @@ async def _metrics_middleware(request: web.Request, handler):
             ).observe(time.time() - t0)
 
 
+@web.middleware
+async def _reject_malformed_middleware(request: web.Request, handler):
+    """Backstop for garbage request bodies — the role axum's extractor
+    layer plays in the reference (malformed JSON never reaches an
+    httproutes.rs handler).  Parse/shape errors (unparseable JSON,
+    missing fields, wrong value types) become a 400 with the error
+    text; anything else uncaught becomes a structured 500 instead of
+    aiohttp's default HTML error page."""
+    import json as _json
+
+    try:
+        return await handler(request)
+    except web.HTTPException:
+        raise
+    except (
+        _json.JSONDecodeError,
+        UnicodeDecodeError,
+        KeyError,
+        TypeError,
+        ValueError,
+    ) as exc:
+        return _json_error(400, f"malformed request: {exc!r}")
+    except Exception as exc:  # noqa: BLE001
+        log.exception("unhandled route error")
+        return _json_error(500, f"internal error: {exc}")
+
+
 async def get_openapi(request: web.Request) -> web.Response:
     return web.json_response(openapi_spec())
 
@@ -383,7 +420,9 @@ async def get_swagger(request: web.Request) -> web.Response:
 
 
 def build_app(engine: EngineHandle) -> web.Application:
-    app = web.Application(middlewares=[_metrics_middleware])
+    app = web.Application(
+        middlewares=[_metrics_middleware, _reject_malformed_middleware]
+    )
     app["engine"] = engine
     app.add_routes(
         [
