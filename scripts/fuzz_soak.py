@@ -10,6 +10,7 @@ seed so the failure can be replayed as a pytest case.
 
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -34,9 +35,28 @@ T0 = time.time()
 D = 12
 
 
+def _tmp_reload(save, load):
+    """save→load roundtrip through a temp file (mid-churn persistence)."""
+
+    def fn(ix):
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "snap.npz")
+            save(ix, path)
+            return load(path)
+
+    return fn
+
+
 def run_slot(seed: int) -> None:
+    from vector_store_tpu.core import persist
+
     idx = SlotIndex(IndexParams(dimensions=D, space="l2"), initial_capacity=512)
-    model, _ = _drive(idx, steps=120, seed=seed, d=D, max_add=64)
+    reload_fn = _tmp_reload(
+        lambda ix, p: persist.save(p, ix), lambda p: persist.load(p)[0]
+    )
+    model, _, idx = _drive(
+        idx, steps=120, seed=seed, d=D, max_add=64, reload_fn=reload_fn
+    )
     assert idx.count() == len(model)
 
 
@@ -48,7 +68,12 @@ def run_sharded(seed: int) -> None:
         n_devices=8,
         initial_capacity_per_shard=512,
     )
-    model, _ = _drive(idx, steps=36, seed=seed, d=D, max_add=96)
+    reload_fn = _tmp_reload(
+        lambda ix, p: ix.save(p), lambda p: ShardedSlotIndex.load(p, n_devices=8)
+    )
+    model, _, idx = _drive(
+        idx, steps=36, seed=seed, d=D, max_add=96, reload_fn=reload_fn
+    )
     assert idx.count() == len(model)
 
 
@@ -62,8 +87,10 @@ def run_ivf(seed: int) -> None:
     seed_vecs = rng.normal(size=(700, D)).astype(np.float32)
     ids = idx.add(seed_vecs)
     seeded = {int(s): v for s, v in zip(ids, seed_vecs)}
-    model, _ = _drive(
-        idx, steps=60, seed=seed, d=D, max_add=64, strict_top1=False, model=seeded
+    reload_fn = _tmp_reload(lambda ix, p: ix.save(p), IvfIndex.load)
+    model, _, idx = _drive(
+        idx, steps=60, seed=seed, d=D, max_add=64, strict_top1=False,
+        model=seeded, reload_fn=reload_fn,
     )
     assert idx.count() == len(model)
 
@@ -81,8 +108,12 @@ def run_ivf_sharded(seed: int) -> None:
     seed_vecs = rng.normal(size=(700, D)).astype(np.float32)
     ids = idx.add(seed_vecs)
     seeded = {int(s): v for s, v in zip(ids, seed_vecs)}
-    model, _ = _drive(
-        idx, steps=40, seed=seed, d=D, max_add=64, strict_top1=False, model=seeded
+    reload_fn = _tmp_reload(
+        lambda ix, p: ix.save(p), lambda p: ShardedIvfIndex.load(p, n_devices=8)
+    )
+    model, _, idx = _drive(
+        idx, steps=40, seed=seed, d=D, max_add=64, strict_top1=False,
+        model=seeded, reload_fn=reload_fn,
     )
     assert idx.count() == len(model)
 

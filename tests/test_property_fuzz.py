@@ -30,22 +30,31 @@ def _drive(
     decode=int,
     strict_top1: bool = True,
     model: dict | None = None,
+    reload_fn=None,
 ):
-    """Shared fuzz loop: returns (model, remap_count).  `idx` needs
+    """Shared fuzz loop: returns (model, remap_count, idx).  `idx` needs
     add/remove/search/count and optionally compact/exact_search.
     `strict_top1=False` relaxes the approximate-search self-lookup for
     probe-bounded backends (IVF after clustering); the exact oracle
     still asserts top-1.  `model` seeds the oracle with rows already in
-    the index (they churn like any other)."""
+    the index (they churn like any other).  `reload_fn(idx) -> idx`
+    (save→load roundtrip) is mixed into the op stream when given — ids
+    must survive persistence and the restored index must keep churning;
+    callers must use the RETURNED idx afterwards."""
     rng = np.random.default_rng(seed)
     if model is None:
         model = {}  # id -> vector (live rows)
     remap_total = 0
     has_compact = hasattr(idx, "compact")
 
+    ops = ["add", "remove", "compact", "reload"]
+    probs = [0.55, 0.3, 0.09, 0.06] if reload_fn else [0.6, 0.3, 0.1, 0.0]
     for step in range(steps):
-        op = rng.choice(["add", "remove", "compact"], p=[0.6, 0.3, 0.1])
-        if op == "add" or not model:
+        op = rng.choice(ops, p=probs)
+        if op == "reload":
+            idx = reload_fn(idx)
+            assert idx.count() == len(model), f"step {step} (reload)"
+        elif op == "add" or not model:
             n = int(rng.integers(1, max_add))
             vecs = rng.normal(size=(n, d)).astype(np.float32)
             ids = idx.add(vecs)
@@ -98,7 +107,7 @@ def _drive(
                 assert _self_hit(ids_e, d_e, probe_id), (
                     f"step {step}: exact oracle {ids_e.tolist()}"
                 )
-    return model, remap_total
+    return model, remap_total, idx
 
 
 def _self_hit(ids: np.ndarray, dists: np.ndarray, probe_id: int) -> bool:
@@ -108,16 +117,28 @@ def _self_hit(ids: np.ndarray, dists: np.ndarray, probe_id: int) -> bool:
 
 
 @pytest.mark.parametrize("seed", [1, 7])
-def test_random_ops_match_model(seed):
+def test_random_ops_match_model(seed, tmp_path):
     """120 steps over a SMALL initial capacity: the run crosses several
     capacity doublings (round-1 weak #7: 12 steps, no growth, caught
-    nothing because it couldn't)."""
+    nothing because it couldn't).  Random save→load roundtrips are in
+    the op mix: ids and contents must survive persistence mid-churn."""
+    from vector_store_tpu.core import persist
+
     d = 12
     idx = SlotIndex(
         IndexParams(dimensions=d, space="l2"), initial_capacity=512
     )
     start_cap = idx.capacity
-    model, remaps = _drive(idx, steps=120, seed=seed, d=d, max_add=64)
+
+    def reload(ix):
+        path = str(tmp_path / "snap.npz")
+        persist.save(path, ix)
+        restored, _ = persist.load(path)
+        return restored
+
+    model, remaps, idx = _drive(
+        idx, steps=120, seed=seed, d=d, max_add=64, reload_fn=reload
+    )
     assert idx.capacity > start_cap, "fuzz never crossed a growth boundary"
     assert idx.count() == len(model)
 
@@ -134,18 +155,19 @@ def test_random_ops_sharded():
         n_devices=8,
         initial_capacity_per_shard=512,
     )
-    model, remaps = _drive(idx, steps=36, seed=5, d=d, max_add=96)
+    model, remaps, idx = _drive(idx, steps=36, seed=5, d=d, max_add=96)
     assert idx.count() == len(model)
     assert remaps > 0, "fuzz never exercised sharded compact"
 
 
-def test_random_ops_ivf():
+def test_random_ops_ivf(tmp_path):
     """The IVF backend under the model-oracle loop.  A deterministic
     bulk add first crosses the staging→clustered threshold VIA THE ADD
     PATH (a random-compact crossing would certify nothing — it
     reclusters unconditionally), then the randomized churn runs against
     the clustered bank: placement, free-list slot reuse, doubling
-    reclusters.  (Single-add staging growth has its own dedicated test:
+    reclusters, and mid-churn save→load roundtrips.  (Single-add staging
+    growth has its own dedicated test:
     test_ivf.py::test_staging_add_survives_bucket_growth.)"""
     from vector_store_tpu.core.ivf import IvfIndex
 
@@ -153,12 +175,17 @@ def test_random_ops_ivf():
     idx = IvfIndex(
         IndexParams(dimensions=d, space="l2"), cluster_min=600, probes=64
     )
+
+    def reload(ix):
+        path = str(tmp_path / "ivf.npz")
+        ix.save(path)
+        return IvfIndex.load(path)
     rng = np.random.default_rng(99)
     seed_vecs = rng.normal(size=(700, d)).astype(np.float32)
     ids = idx.add(seed_vecs)
     assert idx._clustered, "bulk add must cross cluster_min via add()"
     seeded = {int(s): v for s, v in zip(ids, seed_vecs)}
-    model, _ = _drive(
+    model, _, idx = _drive(
         idx,
         steps=60,
         seed=13,
@@ -166,6 +193,7 @@ def test_random_ops_ivf():
         max_add=64,
         strict_top1=False,
         model=seeded,
+        reload_fn=reload,
     )
     assert idx.count() == len(model)
 
@@ -189,7 +217,7 @@ def test_random_ops_ivf_sharded():
     ids = idx.add(seed_vecs)
     assert idx._clustered, "bulk add must cross cluster_min via add()"
     seeded = {int(s): v for s, v in zip(ids, seed_vecs)}
-    model, _ = _drive(
+    model, _, idx = _drive(
         idx,
         steps=30,
         seed=11,
