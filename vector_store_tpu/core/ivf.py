@@ -331,6 +331,197 @@ def search_flat(
     return top_d, top_r
 
 
+# --------------------------------------------------------------------------
+# two-stage scan: int4 coarse probe + int8 exact rescore
+#
+# The probe-scan is HBM-bandwidth-bound (the fused kernel streams the
+# bank bytes exactly once), so the remaining QPS lever is fewer bytes
+# per scanned row: a derived nibble-packed copy of the bank
+# (core/quantize.py::pack_int4_from_int8 — 0.5 byte/dim) serves the
+# first pass, and only the top-`cand` survivors per query are rescored
+# against their int8 rows (a [Q, cand] row gather — ~1% of the scanned
+# bytes at cand=4k).  int4 rank noise at D=768 is ~0.006 cosine std, so
+# survivors of a 4x overfetch contain the true top-k; the rescore
+# restores exact int8 ordering.  Memory: +0.5 byte/dim (1.5B/dim total
+# — still 2.7x under the f32 reference bank, BASELINE config 3).
+
+# Clusters repacked per derive step (128 always divides K — see k_for).
+_COARSE_CHUNK = 128
+
+
+@jax.jit
+def derive_coarse(vectors: jnp.ndarray) -> jnp.ndarray:
+    """[K, B, D] int8 bank → nibble-packed [K, B, D/2] uint8 (chunked
+    scan: the unpack transient stays [CH, B, D] instead of a full-bank
+    f32 copy)."""
+    from .quantize import pack_int4_from_int8
+
+    K, B, D = vectors.shape
+    ch = min(_COARSE_CHUNK, K)
+
+    def body(_, k0):
+        blk = jax.lax.dynamic_slice(vectors, (k0, 0, 0), (ch, B, D))
+        return None, pack_int4_from_int8(blk)
+
+    offs = jnp.arange(K // ch, dtype=jnp.int32) * ch
+    _, out = jax.lax.scan(body, None, offs)
+    return out.reshape(K, B, D // 2)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def update_coarse(
+    coarse: jnp.ndarray, vectors: jnp.ndarray, ks: jnp.ndarray
+) -> jnp.ndarray:
+    """Repack only the touched clusters (ks padded to a pow2 bucket —
+    duplicate ids are idempotent)."""
+    from .quantize import pack_int4_from_int8
+
+    return coarse.at[ks].set(pack_int4_from_int8(vectors[ks]))
+
+
+def _route(state: IvfState, queries: jnp.ndarray, space: str, probes: int):
+    """Shared probe selection: preprocessed queries + top-`probes`
+    clusters (exact below 16K clusters, approx unit above)."""
+    cdt = state.centroids.dtype
+    q = dist_mod.preprocess(queries.astype(jnp.float32), space).astype(cdt)
+    cd = dist_mod.pairwise(q, state.centroids, space)
+    K = state.n_clusters
+    p = min(probes, K)
+    if K >= (1 << 14):
+        _, cids = jax.lax.approx_min_k(cd, p, recall_target=0.999)
+    else:
+        _, cids = jax.lax.top_k(-cd, p)
+    return q, cids.astype(jnp.int32), p
+
+
+def _rescore_flat(
+    state: IvfState,
+    q: jnp.ndarray,  # [Q, D] preprocessed, compute dtype
+    bd: jnp.ndarray,  # [Q, C] coarse dists (INF = masked)
+    bflat: jnp.ndarray,  # [Q, C] flat bank positions (k*B + pos)
+    space: str,
+    k: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact int8 rescore of the coarse survivors → final top-k."""
+    cdt = state.centroids.dtype
+    K, B, D = state.vectors.shape
+    flat_v = state.vectors.reshape(K * B, D)
+    safe = jnp.clip(bflat, 0, K * B - 1)
+    rows = jnp.take(flat_v, safe, axis=0).astype(jnp.float32)  # [Q, C, D]
+    if state.vectors.dtype == jnp.int8:
+        scl = jnp.take(state.scales.reshape(K * B), safe)
+        rows = rows * scl[..., None]
+    d = dist_mod.gathered(q, rows.astype(cdt), space)  # [Q, C]
+    d = jnp.where(jnp.isinf(bd), INF, d)
+    rid = jnp.take(state.rowid.reshape(K * B), safe)
+    kk = min(k, d.shape[1])
+    top_d, pos = topk_ascending(d, kk)
+    top_r = jnp.take_along_axis(rid, pos, axis=-1)
+    top_r = jnp.where(jnp.isinf(top_d), SENTINEL, top_r)
+    if k > kk:
+        top_d = jnp.pad(top_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        top_r = jnp.pad(
+            top_r, ((0, 0), (0, k - kk)), constant_values=2**31 - 1
+        )
+    return top_d, top_r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("space", "k", "probes", "cand", "fused", "interpret"),
+)
+def search_two_stage(
+    state: IvfState,
+    coarse: jnp.ndarray,  # [K, B, D/2] uint8 derived bank
+    queries: jnp.ndarray,  # [q, D] raw f32
+    space: str,
+    k: int,
+    probes: int,
+    cand: int,
+    fused: bool = False,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int4 coarse probe-scan → top-`cand` per query → int8 rescore.
+
+    Same contract as search_clustered.  `fused=True` streams the packed
+    bank through the pallas pool kernel (half the HBM bytes of the int8
+    scan); False scans it with XLA gathers (CPU/test path)."""
+    q, cids, p = _route(state, queries, space, probes)
+    Q = q.shape[0]
+    K, B, D = state.vectors.shape
+    C = min(cand, p * B)
+
+    if fused:
+        from .ivf_pallas import pool_scan_fused
+
+        rid_masked = jnp.where(state.valid, state.rowid, SENTINEL)
+        pool = pool_scan_fused(
+            coarse,
+            state.scales,
+            rid_masked,
+            q.astype(jnp.float32),
+            cids,
+            space,
+            p,
+            quantized=True,
+            packed=True,
+            interpret=interpret,
+        )  # [Q, p*B]
+        if p * B >= (1 << 14):
+            from .topk import topk_ascending_approx
+
+            bd, pos = topk_ascending_approx(pool, C)
+        else:
+            bd, pos = topk_ascending(pool, C)
+        r = pos // B
+        bflat = jnp.take_along_axis(cids, r, axis=-1) * B + pos % B
+    else:
+        from .quantize import unpack_int4
+
+        g = min(PROBE_GROUP, p)
+        steps = -(-p // g)
+        p_pad = steps * g
+        lane_ok = jnp.arange(p_pad) < p
+        cg_all = cids
+        if p_pad > p:
+            cg_all = jnp.pad(cids, ((0, 0), (0, p_pad - p)))
+        xs = (
+            jnp.transpose(cg_all.reshape(Q, steps, g), (1, 0, 2)),
+            lane_ok.reshape(steps, g)[:, None, :],
+        )
+        cdt = state.centroids.dtype
+
+        def step(carry, x):
+            bd, bf = carry
+            cg, ok = x  # [Q, g], [1, g]
+            blocks = jnp.take(coarse, cg, axis=0)  # [Q, g, B, D/2] uint8
+            codes = unpack_int4(blocks.reshape(Q, g * B, D // 2))
+            scl = jnp.take(state.scales, cg, axis=0).reshape(Q, g * B)
+            scl = scl * (127.0 / 7.0)
+            vld = (jnp.take(state.valid, cg, axis=0) & ok[:, :, None]).reshape(
+                Q, g * B
+            )
+            rows = (codes.astype(jnp.float32) * scl[..., None]).astype(cdt)
+            d = dist_mod.gathered(q, rows, space)
+            d = jnp.where(vld, d, INF)
+            flat = (cg[:, :, None] * B + jnp.arange(B)[None, None, :]).reshape(
+                Q, g * B
+            )
+            md, pos = topk_ascending(jnp.concatenate([bd, d], axis=-1), C)
+            mf = jnp.take_along_axis(
+                jnp.concatenate([bf, flat], axis=-1), pos, axis=-1
+            )
+            return (md, mf), None
+
+        init_c = (
+            jnp.full((Q, C), INF, dtype=jnp.float32),
+            jnp.zeros((Q, C), dtype=jnp.int32),
+        )
+        (bd, bflat), _ = jax.lax.scan(step, init_c, xs)
+
+    return _rescore_flat(state, q, bd, bflat, space, k)
+
+
 # --- recluster kernels: each device pass is ONE dispatch (lax.scan over
 #     index chunks), not one eager gather per chunk — the round-1-style
 #     per-chunk reshape+take paid a full-bank copy and a tunnel RTT per
@@ -511,6 +702,8 @@ class IvfIndex:
         probes: int = PROBE_DEFAULT,
         cluster_min: int = CLUSTER_MIN_ROWS,
         rows_per_bucket: int | None = None,
+        coarse: bool | None = None,
+        rescore: int = 8,
     ) -> None:
         self.params = params
         self.space = params.space
@@ -519,6 +712,22 @@ class IvfIndex:
         )
         self.dims = params.dimensions
         self.probes = probes
+        # two-stage scan (int4 coarse + int8 rescore): explicit arg wins,
+        # else VST_IVF_COARSE=1 opts in; only meaningful for int8 banks
+        env4 = os.environ.get("VST_IVF_COARSE")
+        if coarse is None:
+            coarse = env4 == "1"
+        elif env4 == "0":
+            coarse = False
+        self.coarse = bool(coarse) and self.dtype == "int8" and self.dims % 2 == 0
+        # rescored candidates per query = max(rescore*k, 64): int4 rank
+        # noise scales ~1/sqrt(D), so low-D banks want a bigger overfetch
+        # (measured: D=64 needs 16x for parity with int8; D=768 is fine
+        # at 4-8x) — the rescore row-gather is the cost knob
+        self.rescore = rescore
+        self._coarse_bank: jnp.ndarray | None = None
+        self._coarse_stale = True
+        self._coarse_dirty: set[int] = set()
         self.cluster_min = cluster_min
         self.rows_per_bucket = rows_per_bucket or ROWS_PER_BUCKET
         rows0 = max(initial_capacity or 0, cluster_min)
@@ -580,6 +789,8 @@ class IvfIndex:
         self._rowid_h = np.pad(
             self._rowid_h, ((0, 0), (0, B)), constant_values=-1
         )
+        self._coarse_stale = True  # bank shape changed; re-derive
+        self._coarse_bank = None
 
     def _plan_placement(
         self,
@@ -648,6 +859,8 @@ class IvfIndex:
         self._rowid_h[ks, poss] = rid
         self._loc[rid, 0] = ks
         self._loc[rid, 1] = poss
+        if self.coarse and not self._coarse_stale:
+            self._coarse_dirty.update(int(x) for x in np.unique(ks))
 
     def _add_staging(self, blk: np.ndarray, rid: np.ndarray) -> None:
         """Sequential fill before the first clustering.
@@ -841,6 +1054,10 @@ class IvfIndex:
             jnp.asarray(old_k, dtype=jnp.int32),
             jnp.asarray(old_p, dtype=jnp.int32),
         )
+        # coarse cache: moved rows wrote new codes into `ks` (the vacated
+        # slots only flipped validity, which the scan reads live)
+        if self.coarse and not self._coarse_stale:
+            self._coarse_dirty.update(int(c) for c in np.unique(ks))
         # host mirrors: vacate old slots, claim new ones
         self._valid_h[old_k, old_p] = False
         for k_, p_ in zip(old_k.tolist(), old_p.tolist()):
@@ -952,6 +1169,8 @@ class IvfIndex:
         )
         self._clustered = True
         self._clustered_at = self._n_live
+        self._coarse_stale = True  # whole bank permuted; re-derive
+        self._coarse_bank = None
 
     def _permute_via_host(
         self, box: list, centroids, perm, k_new, b_new, D
@@ -1005,16 +1224,18 @@ class IvfIndex:
 
     # -- query ----------------------------------------------------------------
 
-    def _fused_ok(self) -> bool:
+    def _fused_ok(self, packed: bool = False) -> bool:
         """Route queries through the fused pallas probe-scan when the
         layout allows it: TPU backend, 128-aligned bucket and dims (DMA
-        tiling), opt-out via VST_IVF_FUSED=0."""
+        tiling; the packed int4 bank's trailing dim is D/2), opt-out via
+        VST_IVF_FUSED=0."""
         import os
 
         if os.environ.get("VST_IVF_FUSED") == "0":
             return False
         st = self._state
-        if st.bucket % 128 or st.dims % 128:
+        d_eff = st.dims // 2 if packed else st.dims
+        if st.bucket % 128 or d_eff % 128:
             return False
         try:
             import jax as _jax
@@ -1022,6 +1243,31 @@ class IvfIndex:
             return _jax.default_backend() not in ("cpu",)
         except Exception:  # noqa: BLE001
             return False
+
+    def _refresh_coarse_locked(self) -> jnp.ndarray:
+        """Bring the derived int4 bank up to date (called under the lock
+        before a two-stage search).  Full re-derive on shape changes /
+        recluster; per-cluster repack (pow2-padded id list, idempotent
+        duplicates) after ordinary inserts."""
+        if self._coarse_bank is None or self._coarse_stale:
+            self._coarse_bank = derive_coarse(self._state.vectors)
+            self._coarse_stale = False
+            self._coarse_dirty.clear()
+            return self._coarse_bank
+        if self._coarse_dirty:
+            ks = np.fromiter(self._coarse_dirty, dtype=np.int64)
+            self._coarse_dirty.clear()
+            if len(ks) > self._state.n_clusters // 4:
+                self._coarse_bank = derive_coarse(self._state.vectors)
+            else:
+                m = 1 << max(0, int(len(ks) - 1).bit_length())
+                ks = np.pad(ks, (0, m - len(ks)), mode="edge")
+                self._coarse_bank = update_coarse(
+                    self._coarse_bank,
+                    self._state.vectors,
+                    jnp.asarray(ks, dtype=jnp.int32),
+                )
+        return self._coarse_bank
 
     def search(
         self, queries: np.ndarray, k: int, probes: int | None = None
@@ -1044,6 +1290,9 @@ class IvfIndex:
             # at serving k but O(k) in vector ops, so large-k requests
             # take the XLA path whose top_k is logarithmic
             fused = clustered and k <= FUSED_MAX_K and self._fused_ok()
+            two_stage = clustered and self.coarse
+            coarse_bank = self._refresh_coarse_locked() if two_stage else None
+            fused2 = two_stage and self._fused_ok(packed=True)
             for off in range(0, n, QCHUNK):
                 blk = queries[off : off + QCHUNK]
                 m = len(blk)
@@ -1051,7 +1300,22 @@ class IvfIndex:
                 b = next(s for s in (8, 32, 128, QCHUNK) if m <= s)
                 if b != m:
                     blk = np.pad(blk, ((0, b - m), (0, 0)))
-                if fused:
+                if two_stage:
+                    cand = min(
+                        max(self.rescore * k, 64),
+                        min(probes, self.n_clusters) * state.bucket,
+                    )
+                    dd, ii = search_two_stage(
+                        state,
+                        coarse_bank,
+                        jnp.asarray(blk),
+                        self.space,
+                        k,
+                        probes,
+                        cand,
+                        fused=fused2,
+                    )
+                elif fused:
                     from .ivf_pallas import search_clustered_fused
 
                     dd, ii = search_clustered_fused(
@@ -1098,6 +1362,8 @@ class IvfIndex:
                 "probes": self.probes,
                 "cluster_min": self.cluster_min,
                 "rows_per_bucket": self.rows_per_bucket,
+                "coarse": self.coarse,
+                "rescore": self.rescore,
                 "clustered": self._clustered,
                 "clustered_at": self._clustered_at,
                 "n_live": self._n_live,
@@ -1137,6 +1403,16 @@ class IvfIndex:
             idx.probes = meta["probes"]
             idx.cluster_min = meta["cluster_min"]
             idx.rows_per_bucket = meta.get("rows_per_bucket", ROWS_PER_BUCKET)
+            # coarse bank is derived, not persisted — rebuilt on first use
+            idx.coarse = (
+                meta.get("coarse", os.environ.get("VST_IVF_COARSE") == "1")
+                and idx.dtype == "int8"
+                and idx.dims % 2 == 0
+            )
+            idx._coarse_bank = None
+            idx._coarse_stale = True
+            idx._coarse_dirty = set()
+            idx.rescore = meta.get("rescore", 8)
             idx._clustered = meta["clustered"]
             idx._clustered_at = meta["clustered_at"]
             idx._n_live = meta["n_live"]

@@ -130,6 +130,153 @@ def _kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r, *,
     )
 
 
+def _pool_kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, *,
+                 p: int, space: str, quantized: bool, packed: bool,
+                 qg: int, nbuf: int):
+    """Pool-mode probe-scan: same DMA ring as `_kernel`, but the output
+    is the RAW per-candidate distance pool [qg, p*B] (INF where dead)
+    instead of an on-chip top-k.  Two uses:
+
+      * the int4 coarse stage of the two-stage scan (`packed=True`: the
+        HBM block is a [B, D/2] nibble-packed bank, unpacked on-chip —
+        half the stream bytes of int8), whose pool feeds an XLA top-C +
+        exact rescore;
+      * large-k serving (the in-kernel top-k is k serial extract-min
+        sweeps — linear in k; the pool + `approx_min_k` path is not).
+    """
+    B = vec_hbm.shape[1]
+    gi = pl.program_id(0)
+
+    def body(vbuf, sems):
+        def dma(slot, l, r):
+            c = cids_ref[gi * qg + l, r]
+            return pltpu.make_async_copy(
+                vec_hbm.at[c], vbuf.at[slot], sems.at[slot]
+            )
+
+        steps = [(l, r) for l in range(qg) for r in range(p)]
+        depth = min(nbuf, len(steps))
+        for s in range(depth - 1):
+            dma(s % nbuf, *steps[s]).start()
+
+        for s, (l, r) in enumerate(steps):
+            slot = s % nbuf
+            if s + depth - 1 < len(steps):
+                dma((s + depth - 1) % nbuf, *steps[s + depth - 1]).start()
+            dma(slot, l, r).wait()
+
+            if packed:
+                # split-layout nibbles (core/quantize.py): byte j holds
+                # dim j (low) and dim j + D/2 (high).  Sign-extend via
+                # int32 shift pairs; lane-concat restores dim order.
+                xi = vbuf[slot].astype(jnp.int32)  # [B, D/2]
+                lo = jax.lax.shift_right_arithmetic(
+                    jax.lax.shift_left(xi, 28), 28
+                )
+                hi = jax.lax.shift_right_arithmetic(
+                    jax.lax.shift_left(xi, 24), 28
+                )
+                x = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+            else:
+                x = vbuf[slot].astype(jnp.float32)  # [B, D]
+            qv = q_ref[l, :]  # [D]
+            dots = jnp.dot(x, qv, preferred_element_type=jnp.float32)
+            sc = scl_ref[0, l, r, :]  # [B]
+            if packed:
+                sc = sc * (127.0 / 7.0)  # derived-code scale (quantize.py)
+            if quantized or packed:
+                dots = dots * sc
+            if space == "l2":
+                x_sq = jnp.sum(x * x, axis=-1)
+                if quantized or packed:
+                    x_sq = x_sq * sc * sc
+                q_sq = jnp.sum(qv * qv)
+                d = q_sq + x_sq - 2.0 * dots
+            elif space == "dot":
+                d = -dots
+            else:  # cosine
+                d = 1.0 - dots
+            rid = rid_ref[0, l, r, :]
+            d = jnp.where(rid == SENTINEL, INF, d)
+            out_d[l, r * B : (r + 1) * B] = d
+
+    pl.run_scoped(
+        body,
+        vbuf=pltpu.VMEM((nbuf, B, vec_hbm.shape[2]), vec_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((nbuf,)),
+    )
+
+
+def pool_scan_fused(
+    vectors: jnp.ndarray,  # [K, B, D'] bank (D' = D/2 uint8 when packed)
+    scales: jnp.ndarray,  # [K, B] f32 int8-code scales
+    rowid_masked: jnp.ndarray,  # [K, B] i32, SENTINEL where dead
+    queries_prep: jnp.ndarray,  # [Q, D] f32 preprocessed, Q % qg == 0
+    cids: jnp.ndarray,  # [Q, p] i32 probed clusters
+    space: str,
+    probes: int,
+    quantized: bool,
+    packed: bool,
+    interpret: bool = False,
+    qg: int | None = None,
+    nbuf: int = NBUF,
+) -> jnp.ndarray:
+    """Fused probe-scan returning the distance pool [Q, p*B] f32.
+
+    Pool lane (r*B + j) of query q scores row (cids[q, r], j); callers
+    map pool positions back to bank slots via the same cids.  Unjitted —
+    composes inside a caller's jit (ivf.search_two_stage)."""
+    Q, D = queries_prep.shape
+    if qg is None:
+        qg = 16 if Q % 16 == 0 else QG
+    if Q % qg:
+        raise ValueError(f"query batch must be a multiple of {qg}, got {Q}")
+    p = probes
+    B = vectors.shape[1]
+
+    scl_g = jnp.take(scales, cids, axis=0).reshape(Q // qg, qg, p, B)
+    rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // qg, qg, p, B)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Q // qg,),
+        in_specs=[
+            pl.BlockSpec(
+                (qg, D), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, qg, p, B),
+                lambda g, cids: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, qg, p, B),
+                lambda g, cids: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (qg, p * B), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    kern = functools.partial(
+        _pool_kernel,
+        p=p,
+        space=space,
+        quantized=quantized,
+        packed=packed,
+        qg=qg,
+        nbuf=nbuf,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Q, p * B), jnp.float32),
+        interpret=interpret,
+    )(cids, queries_prep.astype(jnp.float32), vectors, scl_g, rid_g)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
