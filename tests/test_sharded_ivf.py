@@ -207,3 +207,72 @@ def test_sharded_ivf_single_row_adds_balance():
         np.stack([rng.normal(size=(d,)) for _ in range(2)]).astype(np.float32), 5
     )
     assert ids.shape == (2, 5)
+
+
+def test_sharded_ivf_two_stage_recall_and_mutation():
+    """coarse=True routes searches through the per-shard two-stage scan
+    (int4 coarse + int8 rescore, gid-merged); recall must track the
+    single-stage int8 path and the derived bank must follow mutations."""
+    d = 64
+    x = _data(6000, d, seed=8)
+    base = ShardedIvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        n_devices=8,
+        cluster_min=4000,
+        coarse=False,
+    )
+    two = ShardedIvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        n_devices=8,
+        cluster_min=4000,
+        coarse=True,
+        rescore=16,  # int4 noise ~1/sqrt(D): D=64 wants a big overfetch
+    )
+    gb = base.add(x)
+    gt_ids = two.add(x)
+    assert two.coarse and two._clustered
+    np.testing.assert_array_equal(gb, gt_ids)
+
+    rng = np.random.default_rng(9)
+    q = x[rng.choice(len(x), 64, replace=False)] + 0.05 * rng.normal(
+        size=(64, d)
+    ).astype(np.float32)
+    _, exact_i = base.exact_search(q, 10)
+    _, i_base = base.search(q, 10, probes=16)
+    _, i_two = two.search(q, 10, probes=16)
+    r_base, r_two = _recall(i_base, exact_i), _recall(i_two, exact_i)
+    assert r_two >= r_base - 0.03, (r_two, r_base)
+    assert r_two >= 0.9
+
+    # mutation invalidates the derived bank; new rows are findable
+    assert not two._coarse_stale
+    new_g = two.add(x[:8] + 0.001)
+    assert two._coarse_stale
+    _, ids = two.search(x[0] + 0.001, 1, probes=16)
+    assert ids[0] in (new_g[0], gt_ids[0])
+
+    # tombstones never surface through the two-stage path
+    two.remove(gt_ids[:32])
+    two.remove(new_g)
+    _, ids = two.search(x[:16], 1, probes=16)
+    assert not set(ids[:, 0].tolist()) & set(gt_ids[:32].tolist())
+
+
+def test_sharded_ivf_two_stage_persist(tmp_path):
+    d = 64
+    x = _data(5000, d, seed=10)
+    idx = ShardedIvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        n_devices=8,
+        cluster_min=4000,
+        coarse=True,
+    )
+    idx.add(x)
+    p = str(tmp_path / "sh_ivf4.npz")
+    idx.save(p)
+    back = ShardedIvfIndex.load(p, n_devices=8)
+    assert back.coarse and back._coarse_stale
+    q = x[50:82]
+    d1, i1 = idx.search(q, 5, probes=16)
+    d2, i2 = back.search(q, 5, probes=16)
+    assert (np.asarray(i1) == np.asarray(i2)).all()

@@ -61,11 +61,13 @@ from ..core.ivf import (
     bucket_for,
     init,
     k_for,
+    derive_coarse,
     permute_build_impl,
     place_impl,
     plan_placement,
     search_clustered,
     search_flat,
+    search_two_stage,
     unvalidate_impl,
 )
 from ..core.topk import SENTINEL, topk_ascending
@@ -217,6 +219,63 @@ def _sh_search(state, queries, space, k, probes, mode, mesh_holder,
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_holder",))
+def _sh_derive_coarse(state, mesh_holder):
+    """Per-shard derived int4 bank [S, K, B, D/2] (core/ivf.py coarse)."""
+
+    def fn(state_blk):
+        return derive_coarse(_local(state_blk).vectors)[None]
+
+    return _shard_map_fn(
+        fn,
+        mesh=mesh_holder.mesh,
+        in_specs=(_IVF_SPEC(),),
+        out_specs=P(SHARD_AXIS),
+        check_vma=False,
+    )(state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "space", "k", "probes", "cand", "fused", "mesh_holder", "interpret"
+    ),
+)
+def _sh_search_two_stage(
+    state, coarse, queries, space, k, probes, cand, fused, mesh_holder,
+    interpret=False,
+):
+    """Two-stage (int4 coarse + int8 rescore) per shard, gid-merged over
+    ICI — the sharded twin of core/ivf.py::search_two_stage."""
+    mesh = mesh_holder.mesh
+    S = mesh.devices.size
+
+    def fn(state_blk, coarse_blk, q_rep):
+        local = _local(state_blk)
+        d, rid = search_two_stage(
+            local, coarse_blk[0], q_rep, space, k, probes, cand,
+            fused=fused, interpret=interpret,
+        )
+        shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+        gid = jnp.where(rid == SENTINEL, SENTINEL, rid * S + shard)
+        dd = jax.lax.all_gather(d, SHARD_AXIS)  # [S, Q, k]
+        ii = jax.lax.all_gather(gid, SHARD_AXIS)
+        n_sh, Q, kk = dd.shape
+        flat_d = jnp.transpose(dd, (1, 0, 2)).reshape(Q, n_sh * kk)
+        flat_i = jnp.transpose(ii, (1, 0, 2)).reshape(Q, n_sh * kk)
+        md, pos = topk_ascending(flat_d, k)
+        mi = jnp.take_along_axis(flat_i, pos, axis=-1)
+        return md, mi
+
+    return _shard_map_fn(
+        fn,
+        mesh=mesh,
+        in_specs=(_IVF_SPEC(), P(SHARD_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(state, coarse, queries)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh_holder",))
 def _sh_gather_rows(state, ids, mesh_holder):
     """Per-shard flat-bank row gather (centroid seeding) → [S, n, D] f32."""
 
@@ -337,6 +396,8 @@ class ShardedIvfIndex:
         cluster_min: int = CLUSTER_MIN_ROWS,
         initial_capacity: int | None = None,
         rows_per_bucket: int | None = None,
+        coarse: bool | None = None,
+        rescore: int = 8,
     ) -> None:
         self.params = params
         self.space = params.space
@@ -346,6 +407,21 @@ class ShardedIvfIndex:
         self.dims = params.dimensions
         self.probes = probes
         self.cluster_min = cluster_min
+        # two-stage scan knobs (same semantics as IvfIndex): the coarse
+        # bank is a per-shard derived cache, invalidated wholesale on any
+        # code-writing mutation (sharded mutations are batchy; a full
+        # per-shard re-derive is one shard_map dispatch)
+        import os as _os
+
+        env4 = _os.environ.get("VST_IVF_COARSE")
+        if coarse is None:
+            coarse = env4 == "1"
+        elif env4 == "0":
+            coarse = False
+        self.coarse = bool(coarse) and self.dtype == "int8" and self.dims % 2 == 0
+        self.rescore = rescore
+        self._coarse_bank: jnp.ndarray | None = None
+        self._coarse_stale = True
         self.rows_per_bucket = rows_per_bucket or ROWS_PER_BUCKET
         self.mesh = mesh or make_mesh(n_devices)
         self._holder = _MeshHolder(self.mesh)
@@ -412,6 +488,8 @@ class ShardedIvfIndex:
         )
         for book in self._books:
             book.grow_bucket(B)
+        self._coarse_stale = True
+        self._coarse_bank = None
 
     def _to_dev_stack(self, arr: np.ndarray) -> jnp.ndarray:
         """Ship a stacked [S, ...] host array shard-per-device."""
@@ -466,6 +544,7 @@ class ShardedIvfIndex:
                     self._books[s].n_live += int(lens[s])
                 self._rr = (s0 + take) % S
                 done += take
+            self._coarse_stale = True  # new codes landed on every shard
             self._maybe_recluster()
         return gids
 
@@ -743,15 +822,18 @@ class ShardedIvfIndex:
             book.free = {}
         self._clustered = True
         self._clustered_at = self.count()
+        self._coarse_stale = True  # whole bank permuted on every shard
+        self._coarse_bank = None
 
     # -- query --------------------------------------------------------------
 
-    def _fused_ok(self) -> bool:
+    def _fused_ok(self, packed: bool = False) -> bool:
         import os
 
         if os.environ.get("VST_IVF_FUSED") == "0":
             return False
-        if self.bucket % 128 or self.dims % 128:
+        d_eff = self.dims // 2 if packed else self.dims
+        if self.bucket % 128 or d_eff % 128:
             return False
         try:
             return jax.default_backend() not in ("cpu",)
@@ -782,10 +864,22 @@ class ShardedIvfIndex:
         outs_d, outs_i = [], []
         with self._lock:
             state = self._state
+            two_stage = False
             if oracle:
                 mode = "flat_exact"
             elif not self._clustered:
                 mode = "flat"
+            elif self.coarse:
+                two_stage = True
+                if self._coarse_bank is None or self._coarse_stale:
+                    self._coarse_bank = _sh_derive_coarse(state, self._holder)
+                    self._coarse_stale = False
+                coarse = self._coarse_bank
+                cand = min(
+                    max(self.rescore * k, 64),
+                    min(probes, self.n_clusters) * self.bucket,
+                )
+                fused2 = self._fused_ok(packed=True)
             elif k <= FUSED_MAX_K and self._fused_ok():
                 # same large-k routing as IvfIndex.search: the fused
                 # kernel's top-k is k serial extract-min sweeps, so past
@@ -799,15 +893,28 @@ class ShardedIvfIndex:
                 b = next(s for s in (8, 32, 128, QCHUNK) if m <= s)
                 if b != m:
                     blk = np.pad(blk, ((0, b - m), (0, 0)))
-                dd, ii = _sh_search(
-                    state,
-                    jnp.asarray(blk),
-                    self.space,
-                    k,
-                    probes,
-                    mode,
-                    self._holder,
-                )
+                if two_stage:
+                    dd, ii = _sh_search_two_stage(
+                        state,
+                        coarse,
+                        jnp.asarray(blk),
+                        self.space,
+                        k,
+                        probes,
+                        cand,
+                        fused2,
+                        self._holder,
+                    )
+                else:
+                    dd, ii = _sh_search(
+                        state,
+                        jnp.asarray(blk),
+                        self.space,
+                        k,
+                        probes,
+                        mode,
+                        self._holder,
+                    )
                 outs_d.append(dd[:m])
                 outs_i.append(ii[:m])
             # all chunk dispatches in flight — one pipelined fetch for
@@ -840,6 +947,8 @@ class ShardedIvfIndex:
                 "probes": self.probes,
                 "cluster_min": self.cluster_min,
                 "rows_per_bucket": self.rows_per_bucket,
+                "coarse": self.coarse,
+                "rescore": self.rescore,
                 "clustered": self._clustered,
                 "clustered_at": self._clustered_at,
                 "next_rowid": [b.next_rowid for b in self._books],
@@ -880,6 +989,16 @@ class ShardedIvfIndex:
             idx.probes = meta["probes"]
             idx.cluster_min = meta["cluster_min"]
             idx.rows_per_bucket = meta.get("rows_per_bucket", ROWS_PER_BUCKET)
+            import os as _os
+
+            idx.coarse = (
+                meta.get("coarse", _os.environ.get("VST_IVF_COARSE") == "1")
+                and idx.dtype == "int8"
+                and idx.dims % 2 == 0
+            )
+            idx.rescore = meta.get("rescore", 8)
+            idx._coarse_bank = None
+            idx._coarse_stale = True
             idx.mesh = mesh or make_mesh(n_devices or meta["n_shards"])
             if idx.mesh.devices.size != meta["n_shards"]:
                 raise ValueError(
