@@ -147,3 +147,44 @@ def test_fused_geometry_invariant(qg, nbuf):
     )
     assert (np.asarray(r_g) == np.asarray(r_ref)).all()
     np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_ref))
+
+
+@pytest.mark.slow
+def test_pool_mode_large_k_matches_xla():
+    """search_clustered_pool (pool kernel + XLA top-k) must agree with
+    search_clustered past FUSED_MAX_K — interpret mode."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf import FUSED_MAX_K, search_clustered
+    from vector_store_tpu.core.ivf_pallas import search_clustered_pool
+
+    d = 128
+    x = _clustered(6000, d, seed=5)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        cluster_min=4000,
+    )
+    ids = idx.add(x)
+    idx.remove(ids[3:9])
+    st = idx.state
+    k = FUSED_MAX_K * 2
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(
+        x[:16] + 0.05 * rng.normal(size=(16, d)).astype(np.float32)
+    )
+    d_p, r_p = search_clustered_pool(st, q, "cosine", k, 8, interpret=True)
+    d_x, r_x = search_clustered(st, q, "cosine", k, 8)
+    d_p, d_x = np.asarray(d_p), np.asarray(d_x)
+    r_p, r_x = np.asarray(r_p), np.asarray(r_x)
+    # the pool kernel scores dequantized rows in f32; the XLA path
+    # dequantizes to bf16 before the matmul — same thresholds as the
+    # bench's on-chip parity gate (dist 2e-2, id overlap 0.97)
+    fin = np.isfinite(d_x) & np.isfinite(d_p)
+    assert (np.isfinite(d_p) == np.isfinite(d_x)).all()
+    assert float(np.max(np.abs(d_p[fin] - d_x[fin]))) <= 2e-2
+    overlap = np.mean(
+        [len(set(r_p[i].tolist()) & set(r_x[i].tolist())) / k for i in range(16)]
+    )
+    assert overlap >= 0.97, overlap
+    dead = set(ids[3:9].tolist())
+    assert not (set(r_p.reshape(-1).tolist()) & dead)

@@ -51,8 +51,9 @@ SPILL = 4
 # transient).
 QCHUNK = 256
 PROBE_DEFAULT = 16
-# Largest k served by the fused pallas kernel (its top-k is k unrolled
-# extract-min sweeps — linear in k; beyond this the XLA path wins).
+# Largest k served by the fully-fused pallas kernel (its on-chip top-k
+# is k unrolled extract-min sweeps — linear in k); larger k takes the
+# pool-mode kernel + one logarithmic XLA top-k (ivf_pallas.py).
 FUSED_MAX_K = 32
 # Probed clusters scored per scan step: the gather transient is
 # [Q, PROBE_GROUP, B, D] — big enough to keep the MXU fed, small enough
@@ -1287,9 +1288,11 @@ class IvfIndex:
             clustered = self._clustered
             # the fused kernel's on-chip top-k is k serial extract-min
             # sweeps over the [QG, p*B] pool (ivf_pallas._kernel) — ideal
-            # at serving k but O(k) in vector ops, so large-k requests
-            # take the XLA path whose top_k is logarithmic
-            fused = clustered and k <= FUSED_MAX_K and self._fused_ok()
+            # at serving k but O(k) in vector ops; large-k requests take
+            # the pool-mode kernel + one logarithmic XLA top-k instead
+            fused = clustered and self._fused_ok()
+            fused_pool = fused and k > FUSED_MAX_K
+            fused = fused and k <= FUSED_MAX_K
             two_stage = clustered and self.coarse
             coarse_bank = self._refresh_coarse_locked() if two_stage else None
             fused2 = two_stage and self._fused_ok(packed=True)
@@ -1319,6 +1322,12 @@ class IvfIndex:
                     from .ivf_pallas import search_clustered_fused
 
                     dd, ii = search_clustered_fused(
+                        state, jnp.asarray(blk), self.space, k, probes
+                    )
+                elif fused_pool:
+                    from .ivf_pallas import search_clustered_pool
+
+                    dd, ii = search_clustered_pool(
                         state, jnp.asarray(blk), self.space, k, probes
                     )
                 elif clustered:

@@ -359,6 +359,67 @@ def search_fused(
     jax.jit,
     static_argnames=("space", "k", "probes", "interpret", "qg", "nbuf"),
 )
+def search_clustered_pool(
+    state,  # IvfState pytree
+    queries: jnp.ndarray,  # [Q, D] raw f32, Q % qg == 0
+    space: str,
+    k: int,
+    probes: int,
+    interpret: bool = False,
+    qg: int | None = None,
+    nbuf: int = NBUF,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Large-k fused path: pool-mode kernel + one XLA top-k.
+
+    `search_clustered_fused`'s in-kernel top-k is k serial extract-min
+    sweeps (O(k) vector ops — FUSED_MAX_K caps it); here the kernel
+    emits the raw [Q, p*B] pool (16MB at Q=2048, p=8, B=256 — noise
+    next to the scanned bank bytes) and the logarithmic XLA reduction
+    finishes.  Same contract as ivf.search_clustered, any k."""
+    from . import distance as dist_mod
+    from .topk import topk_ascending
+
+    cdt = state.centroids.dtype
+    K, B, _ = state.vectors.shape
+    p = min(probes, K)
+    Q = queries.shape[0]
+    qf = dist_mod.preprocess(queries.astype(jnp.float32), space)
+    cd = dist_mod.pairwise(qf.astype(cdt), state.centroids, space)
+    if K >= (1 << 14):
+        _, cids = jax.lax.approx_min_k(cd, p, recall_target=0.999)
+    else:
+        _, cids = jax.lax.top_k(-cd, p)
+    cids = cids.astype(jnp.int32)
+    rid_masked = jnp.where(state.valid, state.rowid, SENTINEL)
+    pool = pool_scan_fused(
+        state.vectors,
+        state.scales,
+        rid_masked,
+        qf,
+        cids,
+        space,
+        p,
+        quantized=state.vectors.dtype == jnp.int8,
+        packed=False,
+        interpret=interpret,
+        qg=qg,
+        nbuf=nbuf,
+    )  # [Q, p*B]
+    rids = jnp.take(rid_masked, cids, axis=0).reshape(Q, p * B)
+    kk = min(k, p * B)
+    top_d, pos = topk_ascending(pool, kk)
+    top_r = jnp.take_along_axis(rids, pos, axis=-1)
+    top_r = jnp.where(jnp.isinf(top_d), SENTINEL, top_r)
+    if k > kk:
+        top_d = jnp.pad(top_d, ((0, 0), (0, k - kk)), constant_values=INF)
+        top_r = jnp.pad(top_r, ((0, 0), (0, k - kk)), constant_values=SENTINEL)
+    return top_d, top_r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("space", "k", "probes", "interpret", "qg", "nbuf"),
+)
 def search_clustered_fused(
     state,  # IvfState pytree
     queries: jnp.ndarray,  # [Q, D] raw f32, Q % qg == 0

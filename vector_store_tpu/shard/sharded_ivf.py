@@ -178,7 +178,8 @@ def _sh_search(state, queries, space, k, probes, mode, mesh_holder,
     """Replicated queries → per-shard probe-scan → all_gather top-k merge.
 
     mode: 'probe' (clustered scan), 'fused' (pallas kernel per shard),
-    'flat' (staging-phase full scan), 'flat_exact' (the recall oracle).
+    'pool' (pallas pool kernel + XLA top-k, large-k), 'flat' (staging-
+    phase full scan), 'flat_exact' (the recall oracle).
     `interpret` runs the fused kernel under the mosaic interpreter so the
     sharded plumbing is testable on the CPU mesh."""
     mesh = mesh_holder.mesh
@@ -190,6 +191,12 @@ def _sh_search(state, queries, space, k, probes, mode, mesh_holder,
             from ..core.ivf_pallas import search_clustered_fused
 
             d, rid = search_clustered_fused(
+                local, q_rep, space, k, probes, interpret=interpret
+            )
+        elif mode == "pool":
+            from ..core.ivf_pallas import search_clustered_pool
+
+            d, rid = search_clustered_pool(
                 local, q_rep, space, k, probes, interpret=interpret
             )
         elif mode == "probe":
@@ -880,11 +887,11 @@ class ShardedIvfIndex:
                     min(probes, self.n_clusters) * self.bucket,
                 )
                 fused2 = self._fused_ok(packed=True)
-            elif k <= FUSED_MAX_K and self._fused_ok():
+            elif self._fused_ok():
                 # same large-k routing as IvfIndex.search: the fused
                 # kernel's top-k is k serial extract-min sweeps, so past
-                # FUSED_MAX_K the logarithmic XLA path wins
-                mode = "fused"
+                # FUSED_MAX_K the pool-mode kernel + XLA top-k takes over
+                mode = "fused" if k <= FUSED_MAX_K else "pool"
             else:
                 mode = "probe"
             for off in range(0, n, QCHUNK):
