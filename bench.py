@@ -445,6 +445,30 @@ def bench_ivf(x, queries, exact, timer, fused_ok):
     parity_done = False
     best_ivf = None
     qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
+    if not ivf._clustered:
+        # Below cluster_min the bank never reclusters: centroids are
+        # meaningless and IvfIndex.search serves the staging flat scan —
+        # time THAT path (probe sweep / fused / two-stage need clusters;
+        # small-N smoke runs land here, never the 1M driver run).
+        from vector_store_tpu.core.ivf import search_flat
+
+        st = ivf.state
+        d_, i_ = ivf.search(queries, K)
+        rec = recall_of(i_, exact)
+        qps = timer.qps(
+            lambda r: search_flat(st, qdev[r % 12], "cosine", K),
+            len(queries),
+            reps=6,
+            blocks=2,
+        )
+        log(
+            f"#   ivf staging flat scan (bank < cluster_min): "
+            f"recall@10={rec:.3f} qps={qps:.0f}"
+        )
+        best_ivf = ("ivf-flat", qps, rec)
+        if rec >= TARGET_RECALL:
+            CANDIDATES.append(best_ivf)
+        return (best_ivf if rec >= TARGET_RECALL else None), ivf, ()
     log("# config-2 curve (ivf probe sweep, cheapest-first):")
     for probes in PROBE_LADDER:
         # Reaching any rung past the first means the bar is still
@@ -529,6 +553,12 @@ def bench_ivf_two_stage(
     if ivf.dims % 2 or remaining() < 120:
         if ivf.dims % 2 == 0:
             log("# skip ivf two-stage: budget")
+        return None
+    if not ivf._clustered:
+        # two-stage routes by centroids; an unclustered (staging) bank
+        # has none — scanning it through search_two_stage returns
+        # near-random survivors (smoke-run footgun, 2026-08-18)
+        log("# skip ivf two-stage: bank below cluster_min")
         return None
     try:
         ivf.coarse = True
@@ -928,6 +958,9 @@ def bench_ivf_bf16(x, queries, exact, timer) -> None:
     t0 = time.time()
     ivf.add(x)
     log(f"# ivf-bf16 ingest: {n / (time.time() - t0):.0f} vec/s")
+    if not ivf._clustered:
+        log("# skip ivf-bf16 sweep: bank below cluster_min")
+        return
     st = ivf.state
     qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
     for probes in (4, 8):
