@@ -45,6 +45,13 @@ from bench import make_dataset, recall_of  # noqa: E402
 
 def main():
     import jax
+
+    # VST_BENCH_PLATFORM=cpu must flip the backend BEFORE any device
+    # query — the sitecustomize-registered tunnel plugin otherwise wins
+    # (and a wedged tunnel hangs the smoke instead of failing fast)
+    plat = os.environ.get("VST_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from vector_store_tpu.core.ivf import (
