@@ -92,6 +92,39 @@ def test_clustered_recall(clustered_ivf):
     assert _recall(got, exact) >= 0.9
 
 
+def test_two_stage_xla_recall():
+    """Single-chip two-stage scan (int4 coarse + int8 rescore) through
+    IvfIndex.search on the XLA fallback path must track the plain int8
+    probe-scan's recall.  The fused twin is covered in test_ivf_pallas,
+    the sharded twin in test_sharded_ivf — this pins the path a CPU (or
+    fused-gated) single-chip deployment actually serves."""
+    d, n = 64, 9_000
+    x = _clustered(n, d, seed=11)
+
+    def build(coarse):
+        idx = IvfIndex(
+            IndexParams(dimensions=d, space="cosine", dtype="int8"),
+            cluster_min=4_000,
+            coarse=coarse,
+            rescore=16,  # D=64: int4 rank noise ~1/sqrt(D) wants 16x
+        )
+        idx.add(x)
+        assert idx._clustered
+        return idx
+
+    one, two = build(False), build(True)
+    assert two.coarse
+    rng = np.random.default_rng(3)
+    qi = rng.choice(n, 64, replace=False)
+    q = x[qi] + 0.05 * rng.normal(size=(64, d)).astype(np.float32)
+    _, exact = one.exact_search(q, 10)
+    _, got1 = one.search(q, 10, probes=16)
+    _, got2 = two.search(q, 10, probes=16)
+    assert not two._coarse_stale  # the search derived + cached the bank
+    r1, r2 = _recall(got1, exact), _recall(got2, exact)
+    assert r2 >= r1 - 0.05 and r2 >= 0.85, (r1, r2)
+
+
 def test_large_k_routes_to_xla_path(clustered_ivf):
     """k above FUSED_MAX_K must bypass the fused kernel (its top-k is k
     serial extract-min sweeps) and still return exact-consistent results
