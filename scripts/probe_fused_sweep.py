@@ -36,6 +36,10 @@ from bench import make_dataset, recall_of  # noqa: E402
 
 def main():
     import jax
+
+    plat = os.environ.get("VST_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from vector_store_tpu.core.ivf import IvfIndex

@@ -25,6 +25,10 @@ SNAP = f"/tmp/vst_snap_{N}_{DTYPE}.npz"
 
 def main():
     import jax
+
+    plat = os.environ.get("VST_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from vector_store_tpu.core import SlotIndex, bruteforce, persist

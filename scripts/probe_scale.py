@@ -29,6 +29,10 @@ from bench import EF_LADDER, make_dataset, recall_of  # noqa: E402
 def main_ivf():
     """IVF bucketed backend at scale: build, probe sweep, churn."""
     import jax
+
+    plat = os.environ.get("VST_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from vector_store_tpu.core.ivf import IvfIndex, search_clustered
