@@ -841,9 +841,38 @@ def bench_graph(x, queries, exact, timer) -> None:
         if best is None or (
             rec >= TARGET_RECALL and (best[2] < TARGET_RECALL or qps > best[1])
         ):
-            best = (f"graph-ef{cfg.ef_search}", qps, rec)
+            best = (f"graph-ef{cfg.ef_search}", qps, rec, cfg)
     if best:
         log(f"# graph best: {best[0]} recall@10={best[2]:.3f} qps={best[1]:.0f}")
+    if best and remaining() >= 120 and len(queries) % 8 == 0:
+        # A/B the fused DMA gather+score expand round (graph_pallas.py)
+        # at the best rung: keep it only if it matches the XLA path's
+        # results and beats its QPS on this chip.
+        try:
+            cfg_f = dataclasses.replace(best[3], fused_gather=True)
+            d_, i_ = search_mod.search(idx.state, qdev_vars[0], cfg_f, K)
+            jax.block_until_ready((d_, i_))
+            overlap = recall_of(np.asarray(i_), exact)
+            qps_f = timer.qps(
+                lambda r: search_mod.search(
+                    idx.state, qdev_vars[r % 12], cfg_f, K
+                ),
+                len(queries),
+                reps=6,
+                blocks=2,
+            )
+            keep = overlap >= best[2] - 0.02 and qps_f > best[1]
+            log(
+                f"# graph fused-gather A/B: xla={best[1]:.0f} "
+                f"fused={qps_f:.0f} recall={overlap:.3f} "
+                f"({'fused kept' if keep else 'xla kept'})"
+            )
+            if keep:
+                best = (
+                    f"graph-fused-ef{cfg_f.ef_search}", qps_f, overlap, cfg_f
+                )
+        except Exception as exc:  # noqa: BLE001 — A/B is best-effort
+            log(f"# graph fused-gather A/B failed: {exc!r}")
     del idx
     gc.collect()
 

@@ -100,6 +100,11 @@ class GraphConfig:
     # Use the TPU approximate-top-k unit for the routing reduction and the
     # sort-free pool merge (recall impact < 0.5%, large latency win).
     approx_topk: bool = True
+    # Fused DMA gather+score for the expand round (core/graph_pallas.py)
+    # instead of the XLA gather + matvec.  Off by default: the gather is
+    # descriptor-rate-bound and the fused win is only the removed HBM
+    # transient — bench.py A/Bs it on-chip and keeps the faster path.
+    fused_gather: bool = False
 
     @property
     def n_keep_nearest(self) -> int:

@@ -71,8 +71,25 @@ def _expand_round(state: GraphState, queries: jnp.ndarray, cfg: GraphConfig, poo
     cand_ids = nbrs.reshape(Q, B * R)
 
     # 4. gather vectors, score, mask sentinels.
-    cand_vecs, is_sent = gather_vectors(state, cand_ids, cfg)  # [Q, B*R, D]
-    cand_dist = dist_mod.gathered(queries, cand_vecs, cfg.space)
+    if cfg.fused_gather and Q % 8 == 0:
+        # fused DMA gather+score (core/graph_pallas.py): the [Q, B*R, D]
+        # gather transient never hits HBM.  Static fallback to the XLA
+        # path for ragged batches (trace-time shape check).
+        from .graph_pallas import gather_score_fused
+
+        is_sent = cand_ids >= state.capacity  # SENTINEL clips high
+        safe = jnp.clip(cand_ids, 0, state.capacity - 1)
+        cand_dist = gather_score_fused(
+            state.vectors,
+            state.scales,
+            queries.astype(jnp.float32),
+            safe,
+            cfg.space,
+            cfg.quantized,
+        )
+    else:
+        cand_vecs, is_sent = gather_vectors(state, cand_ids, cfg)  # [Q, B*R, D]
+        cand_dist = dist_mod.gathered(queries, cand_vecs, cfg.space)
     cand_dist = jnp.where(is_sent, INF, cand_dist)
     cand_ids = jnp.where(is_sent, SENTINEL, cand_ids)
 
