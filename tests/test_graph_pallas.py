@@ -107,3 +107,34 @@ def test_fused_search_ragged_batch_falls_back(monkeypatch):
     q = jnp.asarray(x[:3].astype(np.float32))  # 3 % 8 != 0
     d, i = search_impl(idx.state, q, cfg_f, 5)
     assert (np.asarray(i)[:, 0] == np.arange(3)).all()
+
+
+def test_fused_search_composes_with_shard_map(monkeypatch):
+    """The fused expand kernel must trace and run inside the sharded
+    search's shard_map (queries replicated, bank sharded): every shard
+    runs the kernel over its local bank, then gid-merge as usual."""
+    import jax
+
+    from vector_store_tpu.shard import ShardedSlotIndex, make_mesh
+    from vector_store_tpu.types import IndexParams
+
+    monkeypatch.setenv("VST_PALLAS_INTERPRET", "1")
+    assert len(jax.devices()) == 8
+    idx = ShardedSlotIndex(
+        IndexParams(dimensions=32, space="cosine"),
+        mesh=make_mesh(8),
+        initial_capacity_per_shard=512,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(800, 32)).astype(np.float32)
+    gids = idx.add(x)
+
+    d0, i0 = idx.search(x[:16], 5)
+    idx.cfg = dataclasses.replace(idx.cfg, fused_gather=True)
+    d1, i1 = idx.search(x[:16], 5)
+
+    assert (i1[:, 0] == gids[:16]).all()  # self-lookup through the kernel
+    overlap = np.mean(
+        [len(set(i0[r]) & set(i1[r])) / 5.0 for r in range(len(i0))]
+    )
+    assert overlap >= 0.9, overlap
