@@ -38,3 +38,23 @@ async def test_sharded_backend_actor(rng):
         while await actor.count() != 63:
             await asyncio.sleep(0)
     await engine.close()
+
+
+@pytest.mark.asyncio
+async def test_sharded_text_backend_actor():
+    """Text protocol (Add/Search/Remove) over the document-sharded BM25."""
+    from vector_store_tpu.engine.text_index import TextIndexFactory
+
+    engine = await new_engine(TextIndexFactory(n_devices=8))
+    await engine.add_index(IndexMetadata(index_id=IndexId("articles")))
+    actor = await engine.get_index(IndexId("articles"))
+    await actor.add("a1", "the quick brown fox")
+    await actor.add("a2", "lazy dogs sleep all day")
+    await actor.add("a3", "tensor processing units score text")
+    keys = await actor.search("quick fox", Limit(2))
+    assert keys and keys[0] == "a1"
+    await actor.remove("a1")
+    async with asyncio.timeout(120):
+        while "a1" in await actor.search("quick fox", Limit(2)):
+            await asyncio.sleep(0)
+    await engine.close()

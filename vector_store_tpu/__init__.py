@@ -35,7 +35,7 @@ def new_index_factory(
 ):
     """Default factory: ANN + exact + text backends behind one routing
     seam (reference: lib.rs:275-277 built the opensearch factory).
-    `n_devices > 1` shards ANN indexes over the device mesh."""
+    `n_devices > 1` shards ANN and text indexes over the device mesh."""
     from .engine.ann_index import AnnIndexFactory
     from .engine.factory import RoutingFactory
     from .engine.text_index import TextIndexFactory
@@ -54,7 +54,7 @@ def new_index_factory(
                 window_s=window_s,
                 n_devices=n_devices,
             ),
-            "text": TextIndexFactory(window_s=window_s),
+            "text": TextIndexFactory(window_s=window_s, n_devices=n_devices),
         }
     )
 

@@ -32,10 +32,21 @@ log = logging.getLogger("vst.text")
 
 class TextIndexBackend:
     def __init__(
-        self, index_id: IndexId, max_batch: int = 64, window_s: float = 0.002
+        self,
+        index_id: IndexId,
+        max_batch: int = 64,
+        window_s: float = 0.002,
+        n_devices: int = 1,
     ) -> None:
         self.index_id = index_id
-        self.index = BM25Index()
+        if n_devices > 1:
+            # document-sharded BM25 over the device mesh (same flat-slot
+            # API — see text/sharded_bm25.py)
+            from ..text.sharded_bm25 import ShardedBM25Index
+
+            self.index = ShardedBM25Index(n_devices=n_devices)
+        else:
+            self.index = BM25Index()
         self.keymap = KeyMap()
         self._batcher = MicroBatcher(
             self._run_query_batch, max_batch=max_batch, window_s=window_s
@@ -104,16 +115,25 @@ class TextIndexFactory:
     """Factory for text index actors (the `new_opensearch` role,
     opensearch.rs:51-60)."""
 
-    def __init__(self, max_batch: int = 64, window_s: float = 0.002) -> None:
+    def __init__(
+        self,
+        max_batch: int = 64,
+        window_s: float = 0.002,
+        n_devices: int = 1,
+    ) -> None:
         self.max_batch = max_batch
         self.window_s = window_s
+        self.n_devices = n_devices
 
     def create_index(
         self, index_id: IndexId, metadata: Optional[IndexMetadata] = None
     ) -> IndexHandle:
         return spawn_index_actor(
             TextIndexBackend(
-                index_id, max_batch=self.max_batch, window_s=self.window_s
+                index_id,
+                max_batch=self.max_batch,
+                window_s=self.window_s,
+                n_devices=self.n_devices,
             ),
             name=str(index_id),
         )

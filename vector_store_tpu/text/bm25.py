@@ -35,7 +35,6 @@ Prefix/fuzzy leaves expand against the host-side term vocabulary
 
 from __future__ import annotations
 
-import functools
 import logging
 from collections import Counter
 
@@ -90,8 +89,7 @@ MAX_OP_TERMS = query_mod.MAX_OP_TERMS
 PHRASE_OVERFETCH = 4
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "use_ops"))
-def _score_topk(
+def _score_topk_impl(
     terms: jnp.ndarray,  # [C, U] int32 unique term ids
     tf: jnp.ndarray,  # [C, U] int32 counts
     length: jnp.ndarray,  # [C] int32
@@ -105,7 +103,10 @@ def _score_topk(
     chunk: int = 1 << 13,
     use_ops: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """BM25 top-k: returns (score[Q,k] descending, ids[Q,k])."""
+    """BM25 top-k: returns (score[Q,k] descending, ids[Q,k]).
+
+    Unjitted core — BM25Index wraps it in jit below; the sharded twin
+    (text/sharded_bm25.py) calls it per shard inside shard_map."""
     C, U = terms.shape
     Q, T = q_terms.shape
     n_chunks = -(-C // chunk)
@@ -167,6 +168,11 @@ def _score_topk(
         (term_c, tf_c, len_c, val_c, jnp.arange(n_chunks, dtype=jnp.int32)),
     )
     return best_s, best_i
+
+
+_score_topk = jax.jit(
+    _score_topk_impl, static_argnames=("k", "chunk", "use_ops")
+)
 
 
 class BM25Index:
@@ -307,6 +313,13 @@ class BM25Index:
             self._dirty_slots.clear()
         return self._dev
 
+    def _score(self, arrays, q_terms, q_idf, q_req, q_neg, avg, k, use_ops):
+        """Device scoring seam — the sharded twin overrides this with a
+        shard_map'd call (text/sharded_bm25.py)."""
+        return _score_topk(
+            *arrays, q_terms, q_idf, q_req, q_neg, avg, k, use_ops=use_ops
+        )
+
     def _idf(self, term: int) -> float:
         n, df = max(self._size, 1), self._df.get(term, 0)
         return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
@@ -387,15 +400,15 @@ class BM25Index:
         k_fetch = max(k_fetch, k)
         arrays = self._device_arrays()
         avg = np.float32(max(self._total_len / max(self._size, 1), 1.0))
-        scores, ids = _score_topk(
-            *arrays,
+        scores, ids = self._score(
+            arrays,
             jnp.asarray(q_terms),
             jnp.asarray(q_idf),
             jnp.asarray(q_req),
             jnp.asarray(q_neg),
             jnp.float32(avg),
             k_fetch,
-            use_ops=use_ops,
+            use_ops,
         )
         scores, ids = jax.device_get((scores, ids))
         out = []
