@@ -84,3 +84,43 @@ def test_snapshot_preserves_exact_mode_block(rng):
     assert restored.insert_block == idx.insert_block
     d, i = restored.search(x[7], 1)
     assert i[0] == 7
+
+
+def test_bm25_snapshot_roundtrip(tmp_path):
+    """Text-index checkpoint: scores, expansions, and df bookkeeping all
+    survive a save -> load cycle (single-chip and sharded)."""
+    from vector_store_tpu.text.bm25 import BM25Index
+    from vector_store_tpu.text.sharded_bm25 import ShardedBM25Index
+
+    src = BM25Index()
+    s0 = src.add("the quick brown fox jumps over the lazy dog")
+    s1 = src.add("appliance parts and apple catalogs")
+    s2 = src.add("tensor processing units score text")
+    src.remove(s1)
+    src.add("a quick brown cat sleeps")  # reuses no slot; frontier grows
+    path = str(tmp_path / "bm25.npz")
+    src.save(path)
+
+    for cls, kw in ((BM25Index, {}), (ShardedBM25Index, {"n_devices": 4})):
+        idx = cls.load(path, **kw)
+        assert idx.count() == src.count()
+        want = src.search(["quick fox", "tensor units"], 4)
+        got = idx.search(["quick fox", "tensor units"], 4)
+        for w, g in zip(want, got):
+            assert [s for s, _ in w] == [s for s, _ in g]
+            np.testing.assert_allclose(
+                [x for _, x in w], [x for _, x in g], rtol=1e-5
+            )
+        # removed doc's unique terms must not expand (df rebuilt at 0)
+        assert idx.expand_prefix("applianc", 5) == []
+        assert set(idx.expand_prefix("quic", 5)) == set(
+            src.expand_prefix("quic", 5)
+        )
+        # phrase sequences restored (host verify path)
+        assert {h[0] for h in idx.search(['"quick brown"'], 5)[0]} == {
+            h[0] for h in src.search(['"quick brown"'], 5)[0]
+        }
+        # post-load mutations keep working
+        s_new = idx.add("fox fox fox")
+        assert idx.search(["fox"], 1)[0][0][0] == s_new
+        assert s2 in {h[0] for h in idx.search(["tensor"], 3)[0]}

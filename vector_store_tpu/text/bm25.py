@@ -279,6 +279,83 @@ class BM25Index:
     def count(self) -> int:
         return self._size
 
+    # -- persistence -------------------------------------------------------
+
+    FORMAT_VERSION = 1
+
+    def save(self, path: str) -> None:
+        """Snapshot the host source-of-truth to one ``.npz``.
+
+        Same posture as core/persist.py: the reference has no text-index
+        persistence (indexes rebuild from source, opensearch.rs:99-105);
+        this closes that gap.  Device arrays are derived state and are
+        not saved — the first query after load re-uploads."""
+        f = self._frontier
+        seqs = [
+            self._seqs[s] if s < len(self._seqs) and self._seqs[s] is not None
+            else np.empty((0,), dtype=np.int32)
+            for s in range(f)
+        ]
+        off = np.zeros((f + 1,), dtype=np.int64)
+        if f:
+            off[1:] = np.cumsum([len(s) for s in seqs])
+        words = sorted(self._vocab)
+        np.savez_compressed(
+            path,
+            version=np.int64(self.FORMAT_VERSION),
+            terms=self._terms[:f],
+            tf=self._tf[:f],
+            length=self._length[:f],
+            valid=self._valid[:f],
+            seq_data=(
+                np.concatenate(seqs) if f else np.empty((0,), dtype=np.int32)
+            ),
+            seq_off=off,
+            vocab_words=np.asarray(words, dtype=np.str_),
+            vocab_ids=np.asarray(
+                [self._vocab[w] for w in words], dtype=np.int64
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> "BM25Index":
+        """Restore a snapshot; df / avg-length bookkeeping is rebuilt
+        from the stored rows (they are its exact definition — add()
+        updates df over the kept term set only)."""
+        z = np.load(path)
+        if int(z["version"]) != cls.FORMAT_VERSION:
+            raise ValueError(f"unsupported snapshot version {z['version']}")
+        f = int(z["terms"].shape[0])
+        idx = cls(initial_capacity=max(f, 1), **kwargs)
+        idx._grow(f)
+        idx._terms[:f] = z["terms"]
+        idx._tf[:f] = z["tf"]
+        idx._length[:f] = z["length"]
+        idx._valid[:f] = z["valid"]
+        idx._frontier = f
+        idx._size = int(idx._valid[:f].sum())
+        off = z["seq_off"]
+        data = z["seq_data"]
+        idx._seqs = [
+            np.asarray(data[off[s] : off[s + 1]], dtype=np.int32)
+            if idx._valid[s]
+            else None
+            for s in range(f)
+        ]
+        # rows store unique terms, so the flattened live rows count doc
+        # frequency directly
+        live = idx._terms[:f][idx._valid[:f]].ravel()
+        live = live[live != PAD]
+        uniq, cnt = np.unique(live, return_counts=True)
+        idx._df.update(dict(zip(uniq.tolist(), cnt.tolist())))
+        idx._total_len = int(idx._length[:f][idx._valid[:f]].sum())
+        for w, t in zip(z["vocab_words"], z["vocab_ids"]):
+            w, t = str(w), int(t)
+            idx._vocab[w] = t
+            idx._vocab_by_len.setdefault(len(w), []).append((w, t))
+        idx._vocab_dirty = True
+        return idx
+
     # -- query ------------------------------------------------------------
 
     def _device_arrays(self):
