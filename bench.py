@@ -970,6 +970,74 @@ def bench_real_data(timer) -> None:
     gc.collect()
 
 
+def bench_text(timer) -> None:
+    """Text-search throughput — the reference's LIVE system is
+    simple_query_string over OpenSearch (opensearch.rs:181-194); here
+    the device BM25 scan serves it.  Synthetic zipf corpus; reports doc
+    ingest rate, device-scan QPS, and end-to-end search() QPS (host
+    parse + device + fetch)."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.text.bm25 import BM25Index, _score_topk
+
+    n_docs = int(os.environ.get("VST_BENCH_TEXT_N", "100000"))
+    rng = np.random.default_rng(11)
+    v = 20_000
+    p = 1.0 / np.arange(1, v + 1)
+    p /= p.sum()
+    idx = BM25Index(initial_capacity=n_docs)
+    t0 = time.time()
+    doc_terms = rng.choice(v, size=(n_docs, 24), p=p)
+    for row in doc_terms:
+        idx.add(" ".join(f"w{t}" for t in row))
+    rate = n_docs / (time.time() - t0)
+    log(f"# text ingest: {rate:.0f} docs/s ({n_docs} docs, vocab {v})")
+
+    q_batch = [
+        " ".join(f"w{t}" for t in rng.choice(v, size=3, p=p))
+        for _ in range(32)
+    ]
+    hits = idx.search(q_batch, K)  # compile + device upload
+    assert any(hits), "text bench: no hits on zipf corpus"
+
+    # device-only scan QPS through the jitted kernel (12 rotated inputs)
+    arrays = idx._device_arrays()
+    avg = np.float32(max(idx._total_len / max(idx._size, 1), 1.0))
+    qt = np.zeros((12, 32, 16), dtype=np.int32)
+    qi = np.zeros((12, 32, 16), dtype=np.float32)
+    for r in range(12):
+        for j in range(32):
+            terms = rng.choice(v, size=3, p=p)
+            qt[r, j, :3] = [idx._vocab.get(f"w{t}", 0) for t in terms]
+            qi[r, j, :3] = [idx._idf(t) for t in qt[r, j, :3]]
+    qz = np.zeros((32, 8), dtype=np.int32)
+    qtd = [jnp.asarray(qt[r]) for r in range(12)]
+    qid = [jnp.asarray(qi[r]) for r in range(12)]
+    qzd = jnp.asarray(qz)
+    scan_qps = timer.qps(
+        lambda r: _score_topk(
+            *arrays, qtd[r % 12], qid[r % 12], qzd, qzd,
+            jnp.float32(avg), K,
+        ),
+        32,
+        reps=6,
+        blocks=2,
+    )
+
+    # end-to-end search(): host parse + idf + device + fetch + rank
+    t0 = time.time()
+    reps = 20
+    for r in range(reps):
+        idx.search(q_batch, K)
+    e2e_qps = 32 * reps / (time.time() - t0)
+    log(
+        f"# text search @ {n_docs} docs: device-scan {scan_qps:.0f} qps, "
+        f"end-to-end {e2e_qps:.0f} qps (batch 32, k={K})"
+    )
+    del idx
+    gc.collect()
+
+
 def bench_ivf_bf16(x, queries, exact, timer) -> None:
     """bf16 IVF at probes=4 — the high-recall serving tier (~0.99 vs the
     int8 headline's quantization-capped ~0.96) at 2x the scanned bytes.
@@ -1239,6 +1307,7 @@ def main() -> None:
         ("config-3 ingest pipeline", 180, bench_ingest_pipeline),
         ("real-data recall", 150, lambda: bench_real_data(timer)),
         ("ivf-bf16 tier", 200, lambda: bench_ivf_bf16(x, queries, exact, timer)),
+        ("text search", 150, lambda: bench_text(timer)),
     ]
     for phase, est, fn in extras:
         if not fits(est, phase):
