@@ -301,3 +301,28 @@ def test_bm25_random_churn_matches_oracle():
         assert all(
             s >= kth - 1e-4 for s in returned
         ), f"step {step}: sub-k result {returned} vs kth={kth}"
+
+
+def test_bm25_long_query_scores_all_terms():
+    """A bag-of-words query with more than MAX_QUERY_TERMS unique terms
+    must score every term (T-bucketed compile), not a head-16 slice."""
+    idx = BM25Index()
+    docs = [
+        " ".join(f"tail{i}" for i in range(20, 24)),  # matches tail terms only
+        " ".join(f"head{i}" for i in range(4)),  # matches head terms only
+        "completely unrelated filler",
+    ]
+    for d in docs:
+        idx.add(d)
+    # 24 unique query terms: 4 head + 16 mid (match nothing) + 4 tail
+    query = " ".join(
+        [f"head{i}" for i in range(4)]
+        + [f"mid{i}" for i in range(16)]
+        + [f"tail{i}" for i in range(20, 24)]
+    )
+    got = idx.search([query], 3)[0]
+    want = np_bm25(docs, query)
+    got_slots = {s for s, _ in got}
+    assert {0, 1} <= got_slots, f"tail terms dropped: {got}"
+    for slot, score in got:
+        np.testing.assert_allclose(score, want[slot], rtol=1e-4)

@@ -460,12 +460,28 @@ class BM25Index:
 
         Q = len(texts)
         b = next((x for x in self.QUERY_BUCKETS if Q <= x), Q)
-        q_terms = np.zeros((b, MAX_QUERY_TERMS), dtype=np.int32)
-        q_idf = np.zeros((b, MAX_QUERY_TERMS), dtype=np.float32)
+        # T buckets like Q buckets: long bag-of-words queries score ALL
+        # their terms (OpenSearch does), not a silent head-16 truncation;
+        # each bucket is its own compiled variant.  Past the largest
+        # bucket, keep the highest-idf terms — rare terms carry BM25.
+        t_max = max((len(p.terms) for p in parsed), default=0)
+        T = next(
+            (t for t in (MAX_QUERY_TERMS, 32, 64) if t_max <= t),
+            64,
+        )
+        if t_max > 64:
+            log.warning(
+                "query with %d unique terms; scoring the 64 highest-idf",
+                t_max,
+            )
+        q_terms = np.zeros((b, T), dtype=np.int32)
+        q_idf = np.zeros((b, T), dtype=np.float32)
         q_req = np.zeros((b, MAX_OP_TERMS), dtype=np.int32)
         q_neg = np.zeros((b, MAX_OP_TERMS), dtype=np.int32)
         for j, p in enumerate(parsed):
-            uniq = p.terms[:MAX_QUERY_TERMS]
+            uniq = p.terms
+            if len(uniq) > T:
+                uniq = sorted(uniq, key=self._idf, reverse=True)[:T]
             q_terms[j, : len(uniq)] = uniq
             q_idf[j, : len(uniq)] = [self._idf(t) for t in uniq]
             req = p.required[:MAX_OP_TERMS]
