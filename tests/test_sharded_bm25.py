@@ -92,3 +92,48 @@ def test_sharded_growth_reuploads_stacked_banks():
         np.testing.assert_allclose(score, want[slot], rtol=1e-3)
     kth = sorted(want, reverse=True)[len(got) - 1] if got else 0.0
     assert all(s >= kth - 1e-4 for _, s in got)
+
+
+def test_sharded_random_churn_matches_oracle():
+    """The single-chip churn fuzz (test_bm25.py) over the sharded index:
+    add/remove storms keep df/avg-len global and the scatter protocol
+    must land every mutation on the right (shard, row) cell."""
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(14)]
+    idx = ShardedBM25Index(n_devices=8)
+    live: dict[int, str] = {}
+    for step in range(24):
+        if live and rng.random() < 0.35:
+            for slot in rng.choice(
+                list(live), size=min(2, len(live)), replace=False
+            ):
+                idx.remove(int(slot))
+                live.pop(int(slot))
+        else:
+            for _ in range(int(rng.integers(1, 4))):
+                words = rng.choice(
+                    vocab, size=int(rng.integers(2, 9)), replace=True
+                )
+                text = " ".join(words)
+                live[idx.add(text)] = text
+        if not live or step % 4:
+            continue
+        q = " ".join(
+            rng.choice(vocab, size=int(rng.integers(1, 4)), replace=False)
+        )
+        k = min(5, len(live))
+        got = idx.search([q], k)[0]
+        slots = sorted(live)
+        want = np_bm25([live[s] for s in slots], q)
+        by_slot = {s: want[j] for j, s in enumerate(slots)}
+        for slot, score in got:
+            assert slot in live, f"step {step}: dead slot {slot}"
+            np.testing.assert_allclose(
+                score, by_slot[slot], rtol=1e-3, atol=1e-5
+            )
+        scores = sorted(want, reverse=True)
+        kth = scores[k - 1] if len(scores) >= k else 0.0
+        returned = [s for _, s in got]
+        assert all(
+            s >= kth - 1e-4 for s in returned
+        ), f"step {step}: sub-k result {returned} vs kth={kth}"
