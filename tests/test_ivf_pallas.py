@@ -148,10 +148,13 @@ def _geometry_case():
     return st, q, np.asarray(d_ref), np.asarray(r_ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("qg,nbuf", [(16, 4), (8, 8), (16, 2)])
 def test_fused_geometry_invariant(qg, nbuf):
     """Results must not depend on the (qg, nbuf) kernel geometry — the
-    query-group size and DMA ring depth are pure performance knobs."""
+    query-group size and DMA ring depth are pure performance knobs.
+    Slow tier: a 3-point interpret-mode sweep (~90s); the default-
+    geometry parity tests above stay in the fast tier."""
     from vector_store_tpu.core.ivf_pallas import search_clustered_fused
 
     st, q, d_ref, r_ref = _geometry_case()
