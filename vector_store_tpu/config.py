@@ -61,6 +61,49 @@ class Config:
     log_level: str = field(
         default_factory=lambda: os.environ.get("VST_TPU_LOG", "INFO")
     )
+    # Devices to shard indexes over: 1 = single-chip (default), 0 = every
+    # visible device, N = the first N.  Backed by shard/ (ANN) and
+    # text/sharded_bm25.py (text).
+    n_devices: int = field(
+        default_factory=lambda: int(os.environ.get("VST_TPU_N_DEVICES", "1"))
+    )
+    # Multi-host (DCN) bring-up: when all three are set, the entry point
+    # calls jax.distributed.initialize(coordinator, num_processes,
+    # process_id) before the first backend use, so jax.devices() — and
+    # therefore the shard mesh — spans the pod (SURVEY §5 "distributed
+    # communication backend").
+    dist_coordinator: str | None = field(
+        default_factory=lambda: os.environ.get("VST_DIST_COORDINATOR")
+    )
+    dist_num_processes: int | None = field(
+        default_factory=lambda: (
+            int(v) if (v := os.environ.get("VST_DIST_NUM_PROCESSES")) else None
+        )
+    )
+    dist_process_id: int | None = field(
+        default_factory=lambda: (
+            int(v) if (v := os.environ.get("VST_DIST_PROCESS_ID")) else None
+        )
+    )
+
+    def maybe_init_distributed(self) -> bool:
+        """Initialize jax.distributed iff the env asks for it; returns
+        whether multi-host mode is active.  Must run before the first
+        backend-resolving jax call."""
+        if not (
+            self.dist_coordinator
+            and self.dist_num_processes
+            and self.dist_process_id is not None
+        ):
+            return False
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=self.dist_coordinator,
+            num_processes=self.dist_num_processes,
+            process_id=self.dist_process_id,
+        )
+        return True
 
     @property
     def host(self) -> str:
