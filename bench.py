@@ -185,13 +185,19 @@ def fits(est_s: float, phase: str) -> bool:
 def make_dataset(n: int, d: int, q: int, seed: int = SEED):
     """Deterministic clustered corpus + in-distribution queries.
 
-    The corpus is generated ON DEVICE in row chunks (this host has one
-    slow core — numpy standard_normal runs ~8M floats/s, which is ~100 s
-    of budget at 1M x 768; the chip generates the same chunk in ms and
-    one readback stream brings it home), and cached to /tmp so a re-run
-    with the same shape pays only the disk read.  jax threefry PRNG is
-    backend-invariant, so CPU smoke runs and chip runs see identical
-    data."""
+    The corpus is generated ON HOST in row chunks and cached to /tmp so
+    a re-run with the same shape pays only the disk read.  Round 3's
+    dress rehearsal measured the alternative — generate on device, read
+    back — at 526 s for 1M x 768: the tunnel readback runs ~6 MB/s, so
+    the 3 GB corpus ate half the bench budget.  Host numpy does the
+    same chunks in ~70 s (in-place scale + add; the gather itself is
+    fast), and upload (ingest) direction is ~30x faster than readback,
+    so the corpus should only ever cross the link host->device.
+
+    The corpus rng is SEPARATE from the query rng: query selection must
+    be identical whether the corpus came from the cache or was just
+    generated (the generating draws would otherwise advance the shared
+    stream)."""
     fvecs = os.environ.get("VST_BENCH_FVECS")
     rng = np.random.default_rng(seed)
     if fvecs:
@@ -208,29 +214,20 @@ def make_dataset(n: int, d: int, q: int, seed: int = SEED):
     if os.path.exists(cache):
         x = np.load(cache, mmap_mode=None)
     else:
-        import jax
-        import jax.numpy as jnp
-
+        crng = np.random.default_rng([seed, 1])
         n_clusters = max(n // 50, 16)
-        key = jax.random.PRNGKey(seed)
-        centers = jax.random.normal(
-            jax.random.fold_in(key, 0), (n_clusters, d), jnp.float32
-        )
+        centers = crng.standard_normal((n_clusters, d), dtype=np.float32)
         CH = min(n, 1 << 17)
-
-        @jax.jit
-        def gen_chunk(k, centers):
-            ka, kn = jax.random.split(k)
-            assign = jax.random.randint(ka, (CH,), 0, n_clusters)
-            return jnp.take(centers, assign, axis=0) + 0.35 * jax.random.normal(
-                kn, (CH, d), jnp.float32
-            )
-
-        parts = []
-        for i, off in enumerate(range(0, n, CH)):
-            blk = gen_chunk(jax.random.fold_in(key, 1 + i), centers)
-            parts.append(jax.device_get(blk)[: min(CH, n - off)])
-        x = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        x = np.empty((n, d), dtype=np.float32)
+        t0 = time.time()
+        for off in range(0, n, CH):
+            m = min(CH, n - off)
+            blk = x[off : off + m]
+            blk[:] = crng.standard_normal((m, d), dtype=np.float32)
+            blk *= 0.35
+            assign = crng.integers(0, n_clusters, m)
+            blk += centers[assign]
+        log(f"# dataset generated in {time.time() - t0:.0f}s ({n}x{d})")
         try:
             np.save(cache, x)
         except OSError:
