@@ -71,10 +71,10 @@ def _expand_round(state: GraphState, queries: jnp.ndarray, cfg: GraphConfig, poo
     cand_ids = nbrs.reshape(Q, B * R)
 
     # 4. gather vectors, score, mask sentinels.
-    if cfg.fused_gather and Q % 8 == 0:
+    if cfg.fused_gather:
         # fused DMA gather+score (core/graph_pallas.py): the [Q, B*R, D]
-        # gather transient never hits HBM.  Static fallback to the XLA
-        # path for ragged batches (trace-time shape check).
+        # gather transient never hits HBM.  One grid step per query, so
+        # any batch shape works (the r3 kernel needed Q % 8 == 0).
         from .graph_pallas import gather_score_fused
 
         is_sent = cand_ids >= state.capacity  # SENTINEL clips high
