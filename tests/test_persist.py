@@ -4,6 +4,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 
 from vector_store_tpu.core import SlotIndex, persist
 from vector_store_tpu.types import IndexParams
@@ -86,6 +87,7 @@ def test_snapshot_preserves_exact_mode_block(rng):
     assert i[0] == 7
 
 
+@pytest.mark.slow
 def test_bm25_snapshot_roundtrip(tmp_path):
     """Text-index checkpoint: scores, expansions, and df bookkeeping all
     survive a save -> load cycle (single-chip and sharded)."""

@@ -36,6 +36,7 @@ def test_sharded_identity_and_count(mesh8, rng):
     np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_recall_vs_single(mesh8, rng):
     """Sharded search ≈ single-device search on the same data."""
     from vector_store_tpu.core import SlotIndex
@@ -148,6 +149,7 @@ def test_sharded_remove_count_integrity(mesh8, rng):
     assert idx.count() == 62
 
 
+@pytest.mark.slow
 def test_sharded_single_row_adds_balance(mesh8, rng):
     """A stream of single-row add() calls must spread over shards via the
     rotating cursor (review r3: every call restarted at shard 0)."""

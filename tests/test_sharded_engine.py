@@ -9,6 +9,7 @@ from vector_store_tpu.engine import AnnIndexFactory, new_engine
 from vector_store_tpu.types import IndexId, IndexMetadata, IndexParams, Limit
 
 
+@pytest.mark.slow
 @pytest.mark.asyncio
 async def test_sharded_backend_actor(rng):
     engine = await new_engine(AnnIndexFactory(n_devices=8))

@@ -209,6 +209,7 @@ def test_sharded_ivf_single_row_adds_balance():
     assert ids.shape == (2, 5)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_two_stage_recall_and_mutation():
     """coarse=True routes searches through the per-shard two-stage scan
     (int4 coarse + int8 rescore, gid-merged); recall must track the
