@@ -420,6 +420,9 @@ def probe_fused_compiles() -> None:
         log(f"# probe graph fused kernel: compiles ({time.time() - t0:.0f}s)")
     except Exception as exc:  # noqa: BLE001 — probe must never kill the bench
         GRAPH_FUSED_OK = False
+        # config_from_params defaults fused ON for TPU; a failed probe
+        # must flip every config built after this point back to XLA
+        os.environ["VST_GRAPH_FUSED"] = "0"
         log(
             f"# probe graph fused kernel: FAIL — XLA path only ({exc!r:.300})",
             recap=True,
@@ -925,7 +928,10 @@ def bench_graph(x, queries, exact, timer) -> None:
         exact = np.asarray(oracle_ids)
 
     def rung(knobs):
-        cfg = dataclasses.replace(idx.cfg, **knobs)
+        # the rung is the XLA-path baseline: pin fused_gather off even
+        # though config_from_params defaults it ON for TPU — the A/B
+        # below flips it and keeps the winner
+        cfg = dataclasses.replace(idx.cfg, fused_gather=False, **knobs)
         d_, i_ = search_mod.search(idx.state, qdev_vars[0], cfg, K)
         jax.block_until_ready((d_, i_))
         rec = recall_of(np.asarray(i_), exact)
@@ -945,7 +951,7 @@ def bench_graph(x, queries, exact, timer) -> None:
     best = rung(EF_LADDER[1])  # ef=64 — the band r1/r3 measured as best
     if not GRAPH_FUSED_OK:
         log("# graph fused-gather A/B skipped: compile probe failed", recap=True)
-    elif remaining() >= 45 and len(queries) % 8 == 0:
+    elif remaining() >= 45:
         # A/B the fused DMA gather+score expand round (graph_pallas.py)
         # at the rung: keep it only if it matches the XLA path's results
         # and beats its QPS on this chip.

@@ -126,3 +126,37 @@ def test_bm25_snapshot_roundtrip(tmp_path):
         s_new = idx.add("fox fox fox")
         assert idx.search(["fox"], 1)[0][0][0] == s_new
         assert s2 in {h[0] for h in idx.search(["tensor"], 3)[0]}
+
+
+def test_fused_gather_default_and_env_override(monkeypatch):
+    """fused_gather defaults per backend (OFF on this CPU harness, ON on
+    a real TPU) and VST_GRAPH_FUSED forces it either way."""
+    from vector_store_tpu.core.index import config_from_params, default_fused_gather
+
+    monkeypatch.delenv("VST_GRAPH_FUSED", raising=False)
+    assert default_fused_gather() is False  # conftest pins JAX_PLATFORMS=cpu
+    monkeypatch.setenv("VST_GRAPH_FUSED", "1")
+    assert default_fused_gather() is True
+    assert config_from_params(IndexParams(dimensions=16)).fused_gather is True
+    monkeypatch.setenv("VST_GRAPH_FUSED", "0")
+    assert default_fused_gather() is False
+
+
+def test_snapshot_load_rederives_fused_gather(rng, monkeypatch):
+    """fused_gather is execution policy, not index data: a snapshot
+    written with it ON (e.g. on a TPU host) must load with the LOADING
+    backend's default, or a CPU restore would die inside Mosaic."""
+    monkeypatch.setenv("VST_GRAPH_FUSED", "1")
+    idx = SlotIndex(IndexParams(dimensions=16), initial_capacity=2048)
+    assert idx.cfg.fused_gather is True
+    # adds would trip the (unavailable-on-cpu) kernel — snapshot empty
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "snap.npz")
+        persist.save(path, idx)
+        monkeypatch.delenv("VST_GRAPH_FUSED")
+        restored, _ = persist.load(path)
+    assert restored.cfg.fused_gather is False
+    # and the restored index is actually usable on this backend
+    restored.add(rng.normal(size=(32, 16)).astype(np.float32))
+    d, i = restored.search(np.zeros(16, np.float32), 3)
+    assert len(i) == 3

@@ -101,9 +101,13 @@ class GraphConfig:
     # sort-free pool merge (recall impact < 0.5%, large latency win).
     approx_topk: bool = True
     # Fused DMA gather+score for the expand round (core/graph_pallas.py)
-    # instead of the XLA gather + matvec.  Off by default: the gather is
-    # descriptor-rate-bound and the fused win is only the removed HBM
-    # transient — bench.py A/Bs it on-chip and keeps the faster path.
+    # instead of the XLA gather + matvec.  The dataclass default is
+    # False (CPU/interpret backends can't run Mosaic kernels); on a real
+    # TPU `config_from_params` flips it on via `default_fused_gather()`
+    # — measured 6x the XLA expand round at identical recall
+    # (VST_GRAPH_FUSED=0/1 overrides).  Snapshot loads re-derive it for
+    # the loading backend (persist.py) — it is execution policy, not
+    # index data.
     fused_gather: bool = False
 
     @property

@@ -166,6 +166,12 @@ def gather_score_fused(
         # graph capacities are powers of two >= 4096 (core/graph.py init/
         # grow), so this only trips on hand-built banks
         raise ValueError(f"bank rows ({C}) must be a multiple of tile {t}")
+    if D % 128:
+        # Mosaic pads the bank's lane dim to 128 in HBM and rejects a
+        # narrower DMA slice ("Slice shape along dimension 2 must be
+        # aligned to tiling (128)").  search._expand_round falls back to
+        # the XLA path for these dims; direct callers must too.
+        raise ValueError(f"dim ({D}) must be a multiple of 128 lanes")
     # tile-aligned view: identical memory layout, dynamic DMA index on
     # the untiled leading dim (see module docstring)
     vec3 = vectors.reshape(C // t, t, D)

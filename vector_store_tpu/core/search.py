@@ -71,7 +71,11 @@ def _expand_round(state: GraphState, queries: jnp.ndarray, cfg: GraphConfig, poo
     cand_ids = nbrs.reshape(Q, B * R)
 
     # 4. gather vectors, score, mask sentinels.
-    if cfg.fused_gather:
+    # The fused kernel DMAs [T, D] blocks out of the HBM bank; Mosaic
+    # requires the lane (minor) dim of a DMA slice to be 128-aligned, so
+    # a D % 128 != 0 index (e.g. D=64) must take the XLA path even when
+    # the config asks for fused (the config default is backend-wide).
+    if cfg.fused_gather and queries.shape[-1] % 128 == 0:
         # fused DMA gather+score (core/graph_pallas.py): the [Q, B*R, D]
         # gather transient never hits HBM.  One grid step per query, so
         # any batch shape works (the r3 kernel needed Q % 8 == 0).

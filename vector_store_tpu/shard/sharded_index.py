@@ -706,7 +706,13 @@ class ShardedSlotIndex:
             meta = json.loads(bytes(z["meta"]).decode())
             if not meta.get("sharded"):
                 raise ValueError("not a sharded snapshot (use core.persist.load)")
-            cfg = GraphConfig(**meta["cfg"])
+            from ..core.index import default_fused_gather
+
+            # backend-local execution choice, re-derived at load (a
+            # TPU-written snapshot must load on a CPU mesh and vice versa)
+            cfg = GraphConfig(
+                **{**meta["cfg"], "fused_gather": default_fused_gather()}
+            )
             idx = cls.__new__(cls)
             idx.params = _IP(**meta["params"])
             idx.mesh = mesh or make_mesh(n_devices or meta["n_shards"])
