@@ -20,11 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 RPB = 170
+LIVE_PREFIX = None  # None = sweep both; 0/1 pins one mode
 args = []
 it = iter(sys.argv[1:])
 for a in it:
     if a == "--rpb":
         RPB = int(next(it))
+    elif a == "--live-prefix":
+        LIVE_PREFIX = int(next(it))
     else:
         args.append(a)
 N = int(args[0]) if args else 1_000_000
@@ -85,44 +88,55 @@ def main():
     )
     print(f"# link roundtrip: {rt * 1e3:.1f}ms", flush=True)
 
+    lp_modes = (False, True) if LIVE_PREFIX is None else (bool(LIVE_PREFIX),)
     for p in PROBES:
         base_r = None
-        for qg in (8, 16, 32):
-            for nbuf in (2, 4, 8):
-                # VMEM: nbuf*B*D bytes (int8) + qg*p*B*4
-                vmem = nbuf * B * D + qg * p * B * 4
-                if vmem > 12 * 2**20:
-                    print(f"#  qg={qg} nbuf={nbuf}: skip (vmem {vmem>>20}MB)",
-                          flush=True)
-                    continue
-                try:
-                    d_, i_ = search_clustered_fused(
-                        st, qdev[0], "cosine", K, p, qg=qg, nbuf=nbuf
-                    )
-                    jax.block_until_ready(i_)
-                    if base_r is None:
-                        base_r = recall_of(np.asarray(i_), exact)
-                    best = float("inf")
-                    for _ in range(3):
-                        t0 = time.time()
-                        outs = [
-                            search_clustered_fused(
-                                st, qdev[r], "cosine", K, p, qg=qg, nbuf=nbuf
-                            )[0]
-                            for r in range(8)
-                        ]
-                        float(np.asarray(fetch(outs[-1])))
-                        elapsed = time.time() - t0
-                        best = min(
-                            best, max(elapsed - rt, 0.2 * elapsed) / 8
+        for lp in lp_modes:
+            for qg in (8, 16, 32):
+                for nbuf in (2, 4, 8):
+                    # VMEM: nbuf*B*D bytes (int8) + qg*p*B*4
+                    vmem = nbuf * B * D + qg * p * B * 4
+                    if vmem > 12 * 2**20:
+                        print(f"#  qg={qg} nbuf={nbuf}: skip (vmem "
+                              f"{vmem>>20}MB)", flush=True)
+                        continue
+                    try:
+                        d_, i_ = search_clustered_fused(
+                            st, qdev[0], "cosine", K, p, qg=qg, nbuf=nbuf,
+                            live_prefix=lp,
                         )
-                    qps = Q / best
-                    gbs = Q * p * B * D / best / 1e9
-                    print(f"#  p={p} qg={qg} nbuf={nbuf}: qps={qps:.0f} "
-                          f"dma={gbs:.0f}GB/s", flush=True)
-                except Exception as e:  # noqa: BLE001
-                    print(f"#  p={p} qg={qg} nbuf={nbuf}: FAIL {type(e).__name__}: "
-                          f"{str(e)[:120]}", flush=True)
+                        jax.block_until_ready(i_)
+                        r = recall_of(np.asarray(i_), exact)
+                        if base_r is None:
+                            base_r = r
+                        elif abs(r - base_r) > 0.005:
+                            print(f"#  p={p} lp={int(lp)} qg={qg} "
+                                  f"nbuf={nbuf}: RECALL DRIFT {r:.3f} "
+                                  f"vs {base_r:.3f}", flush=True)
+                        best = float("inf")
+                        for _ in range(3):
+                            t0 = time.time()
+                            outs = [
+                                search_clustered_fused(
+                                    st, qdev[r_], "cosine", K, p, qg=qg,
+                                    nbuf=nbuf, live_prefix=lp,
+                                )[0]
+                                for r_ in range(8)
+                            ]
+                            float(np.asarray(fetch(outs[-1])))
+                            elapsed = time.time() - t0
+                            best = min(
+                                best, max(elapsed - rt, 0.2 * elapsed) / 8
+                            )
+                        qps = Q / best
+                        gbs = Q * p * B * D / best / 1e9
+                        print(f"#  p={p} lp={int(lp)} qg={qg} nbuf={nbuf}: "
+                              f"qps={qps:.0f} dma={gbs:.0f}GB/s (padded-width "
+                              f"bytes)", flush=True)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"#  p={p} lp={int(lp)} qg={qg} nbuf={nbuf}: "
+                              f"FAIL {type(e).__name__}: {str(e)[:120]}",
+                              flush=True)
         print(f"# p={p} recall@10={base_r:.3f}", flush=True)
 
 

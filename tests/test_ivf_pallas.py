@@ -127,6 +127,54 @@ def test_fused_wrapper_matches(monkeypatch):
     assert (np.asarray(r_f) == np.asarray(r_x)).all()
 
 
+def test_live_prefix_blocks_semantics():
+    """live_prefix_blocks = ceil((last live slot + 1) / SB) per cluster,
+    0 for empty buckets — the DMA bound for the live-prefix scan."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf_pallas import live_prefix_blocks
+
+    valid = np.zeros((4, 512), bool)
+    valid[0, :10] = True  # live prefix 10 -> 1 block of 128
+    valid[1, 200] = True  # lone live row at 200 -> 2 blocks
+    valid[2, :512] = True  # full bucket -> 4
+    # bucket 3 stays empty -> 0
+    nsb = np.asarray(live_prefix_blocks(jnp.asarray(valid), block=128))
+    assert nsb.tolist() == [1, 2, 4, 0]
+
+
+@pytest.mark.slow
+def test_live_prefix_parity():
+    """live_prefix=True (DMA only each bucket's live prefix) must return
+    exactly what the full-padded-width scan returns, on a bank whose
+    buckets are heavily tombstoned — the lanes beyond the prefix hold
+    stale VMEM garbage and must be masked by the rowid sentinels."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+
+    d = 128
+    x = _clustered(6000, d, seed=11)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        cluster_min=4000,
+    )
+    ids = idx.add(x)
+    idx.remove(ids[2000:])  # shear most buckets down to short prefixes
+    st = idx.state
+    q = jnp.asarray(x[:8])
+    d_t, r_t = search_clustered_fused(
+        st, q, "cosine", 10, 8, interpret=True, live_prefix=True
+    )
+    d_f, r_f = search_clustered_fused(
+        st, q, "cosine", 10, 8, interpret=True, live_prefix=False
+    )
+    assert (np.asarray(r_t) == np.asarray(r_f)).all()
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_f))
+    dead = set(ids[2000:].tolist())
+    assert not (set(np.asarray(r_t).ravel().tolist()) & dead)
+
+
 @functools.lru_cache(maxsize=1)
 def _geometry_case():
     """One shared (state, queries, reference) across the geometry params:

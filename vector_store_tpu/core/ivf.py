@@ -453,7 +453,7 @@ def search_two_stage(
     C = min(cand, p * B)
 
     if fused:
-        from .ivf_pallas import pool_scan_fused
+        from .ivf_pallas import live_prefix_blocks, pool_scan_fused
 
         rid_masked = jnp.where(state.valid, state.rowid, SENTINEL)
         pool = pool_scan_fused(
@@ -467,6 +467,7 @@ def search_two_stage(
             quantized=True,
             packed=True,
             interpret=interpret,
+            nsb=live_prefix_blocks(state.valid),
         )  # [Q, p*B]
         if p * B >= (1 << 14):
             from .topk import topk_ascending_approx

@@ -57,31 +57,83 @@ QG = 8  # queries per grid step (sublane-aligned block)
 # the per-block score time is shorter than the copy (VMEM cost is
 # NBUF * B * D storage bytes).
 NBUF = 4
+# Live-prefix sub-block: each probed bucket is DMA'd as ceil(used/SB)
+# copies of SB rows instead of the full padded B.  Buckets are sized
+# with 1.5x slack for churn headroom (ivf.bucket_for), so at bulk-load
+# occupancy (~45-67%) this cuts the streamed bytes — the scan's actual
+# bottleneck — by 1.4-1.9x.  128 is tile-aligned for every storage
+# dtype (f32 8x128 / bf16 16x128 / int8+packed-int4 32x128) and divides
+# every bucket width (bucket_for rounds to 128).  Lanes beyond the live
+# prefix are never copied; they hold stale VMEM garbage and are masked
+# to INF via the rowid sentinels, which cover exactly the same slots.
+SB = 128
 
 
-def _kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r, *,
-            p: int, k: int, space: str, quantized: bool, qg: int = QG,
+def live_prefix_blocks(valid: jnp.ndarray, block: int = SB) -> jnp.ndarray:
+    """Per-cluster count of SB-row sub-blocks covering the live rows:
+    ceil((last live slot + 1) / block).  [K] i32; 0 for empty buckets."""
+    K, B = valid.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, B), 1)
+    upper = jnp.max(jnp.where(valid, lane + 1, 0), axis=1)
+    return (upper + block - 1) // block
+
+
+def _dma_ring(cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg):
+    """start/wait pair for the live-prefix DMA ring: bucket (l, r) of
+    grid step gi is copied as nsb[c] sub-copies of SB rows into ring
+    slot `slot` (every sub-copy signals the slot's semaphore once; the
+    wait loop reconstructs and waits each)."""
+
+    def mk(slot, c, sub):
+        off = pl.multiple_of(sub * SB, SB)
+        return pltpu.make_async_copy(
+            vec_hbm.at[c, pl.ds(off, SB), :],
+            vbuf.at[slot, pl.ds(off, SB), :],
+            sems.at[slot],
+        )
+
+    def start(slot, l, r):
+        c = cids_ref[gi * qg + l, r]
+
+        def _issue(sub, carry):
+            mk(slot, c, sub).start()
+            return carry
+
+        jax.lax.fori_loop(0, nsb_ref[c], _issue, None)
+
+    def wait(slot, l, r):
+        c = cids_ref[gi * qg + l, r]
+
+        def _wait(sub, carry):
+            mk(slot, c, sub).wait()
+            return carry
+
+        jax.lax.fori_loop(0, nsb_ref[c], _wait, None)
+
+    return start, wait
+
+
+def _kernel(cids_ref, nsb_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r,
+            *, p: int, k: int, space: str, quantized: bool, qg: int = QG,
             nbuf: int = NBUF):
     B = vec_hbm.shape[1]
     gi = pl.program_id(0)
 
     def body(vbuf, cand_d, sems):
-        def dma(slot, l, r):
-            c = cids_ref[gi * qg + l, r]
-            return pltpu.make_async_copy(
-                vec_hbm.at[c], vbuf.at[slot], sems.at[slot]
-            )
+        dma_start, dma_wait = _dma_ring(
+            cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg
+        )
 
         steps = [(l, r) for l in range(qg) for r in range(p)]
         depth = min(nbuf, len(steps))
         for s in range(depth - 1):
-            dma(s % nbuf, *steps[s]).start()
+            dma_start(s % nbuf, *steps[s])
 
         for s, (l, r) in enumerate(steps):
             slot = s % nbuf
             if s + depth - 1 < len(steps):
-                dma((s + depth - 1) % nbuf, *steps[s + depth - 1]).start()
-            dma(slot, l, r).wait()
+                dma_start((s + depth - 1) % nbuf, *steps[s + depth - 1])
+            dma_wait(slot, l, r)
 
             x = vbuf[slot].astype(jnp.float32)  # [B, D]
             qv = q_ref[l, :]  # [D] — static sublane pick
@@ -130,8 +182,8 @@ def _kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r, *,
     )
 
 
-def _pool_kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, *,
-                 p: int, space: str, quantized: bool, packed: bool,
+def _pool_kernel(cids_ref, nsb_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d,
+                 *, p: int, space: str, quantized: bool, packed: bool,
                  qg: int, nbuf: int):
     """Pool-mode probe-scan: same DMA ring as `_kernel`, but the output
     is the RAW per-candidate distance pool [qg, p*B] (INF where dead)
@@ -148,22 +200,20 @@ def _pool_kernel(cids_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, *,
     gi = pl.program_id(0)
 
     def body(vbuf, sems):
-        def dma(slot, l, r):
-            c = cids_ref[gi * qg + l, r]
-            return pltpu.make_async_copy(
-                vec_hbm.at[c], vbuf.at[slot], sems.at[slot]
-            )
+        dma_start, dma_wait = _dma_ring(
+            cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg
+        )
 
         steps = [(l, r) for l in range(qg) for r in range(p)]
         depth = min(nbuf, len(steps))
         for s in range(depth - 1):
-            dma(s % nbuf, *steps[s]).start()
+            dma_start(s % nbuf, *steps[s])
 
         for s, (l, r) in enumerate(steps):
             slot = s % nbuf
             if s + depth - 1 < len(steps):
-                dma((s + depth - 1) % nbuf, *steps[s + depth - 1]).start()
-            dma(slot, l, r).wait()
+                dma_start((s + depth - 1) % nbuf, *steps[s + depth - 1])
+            dma_wait(slot, l, r)
 
             if packed:
                 # split-layout nibbles (core/quantize.py): byte j holds
@@ -220,44 +270,49 @@ def pool_scan_fused(
     interpret: bool = False,
     qg: int | None = None,
     nbuf: int = NBUF,
+    nsb: jnp.ndarray | None = None,  # [K] i32 live-prefix sub-blocks
 ) -> jnp.ndarray:
     """Fused probe-scan returning the distance pool [Q, p*B] f32.
 
     Pool lane (r*B + j) of query q scores row (cids[q, r], j); callers
     map pool positions back to bank slots via the same cids.  Unjitted —
-    composes inside a caller's jit (ivf.search_two_stage)."""
+    composes inside a caller's jit (ivf.search_two_stage).  `nsb` (from
+    `live_prefix_blocks(valid)`) bounds each bucket's DMA to its live
+    prefix; None streams the full padded width."""
     Q, D = queries_prep.shape
     if qg is None:
         qg = 16 if Q % 16 == 0 else QG
     if Q % qg:
         raise ValueError(f"query batch must be a multiple of {qg}, got {Q}")
     p = probes
-    B = vectors.shape[1]
+    K, B = vectors.shape[0], vectors.shape[1]
+    if nsb is None:
+        nsb = jnp.full((K,), B // SB, jnp.int32)
 
     scl_g = jnp.take(scales, cids, axis=0).reshape(Q // qg, qg, p, B)
     rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // qg, qg, p, B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(Q // qg,),
         in_specs=[
             pl.BlockSpec(
-                (qg, D), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+                (qg, D), lambda g, cids, nsb: (g, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, qg, p, B),
-                lambda g, cids: (g, 0, 0, 0),
+                lambda g, cids, nsb: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, qg, p, B),
-                lambda g, cids: (g, 0, 0, 0),
+                lambda g, cids, nsb: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (qg, p * B), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+            (qg, p * B), lambda g, cids, nsb: (g, 0), memory_space=pltpu.VMEM
         ),
     )
     kern = functools.partial(
@@ -274,7 +329,14 @@ def pool_scan_fused(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Q, p * B), jnp.float32),
         interpret=interpret,
-    )(cids, queries_prep.astype(jnp.float32), vectors, scl_g, rid_g)
+    )(
+        cids,
+        nsb.astype(jnp.int32),
+        queries_prep.astype(jnp.float32),
+        vectors,
+        scl_g,
+        rid_g,
+    )
 
 
 @functools.partial(
@@ -296,6 +358,7 @@ def search_fused(
     interpret: bool = False,
     qg: int | None = None,
     nbuf: int = NBUF,
+    nsb: jnp.ndarray | None = None,  # [K] i32 live-prefix sub-blocks
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     Q, D = queries_prep.shape
     if qg is None:
@@ -305,7 +368,9 @@ def search_fused(
     if Q % qg:
         raise ValueError(f"query batch must be a multiple of {qg}, got {Q}")
     p = probes
-    B = vectors.shape[1]
+    K, B = vectors.shape[0], vectors.shape[1]
+    if nsb is None:
+        nsb = jnp.full((K,), B // SB, jnp.int32)
 
     # pre-gather the 2-lane side arrays per probe (XLA gather; <1% of the
     # vector-block bytes) and group them to match the grid blocks
@@ -313,31 +378,31 @@ def search_fused(
     rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // qg, qg, p, B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(Q // qg,),
         in_specs=[
             pl.BlockSpec(
-                (qg, D), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+                (qg, D), lambda g, cids, nsb: (g, 0), memory_space=pltpu.VMEM
             ),
             # the vector bank MUST stay in HBM (it is the stream source)
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, qg, p, B),
-                lambda g, cids: (g, 0, 0, 0),
+                lambda g, cids, nsb: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, qg, p, B),
-                lambda g, cids: (g, 0, 0, 0),
+                lambda g, cids, nsb: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (qg, k), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+                (qg, k), lambda g, cids, nsb: (g, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (qg, k), lambda g, cids: (g, 0), memory_space=pltpu.VMEM
+                (qg, k), lambda g, cids, nsb: (g, 0), memory_space=pltpu.VMEM
             ),
         ],
     )
@@ -352,12 +417,21 @@ def search_fused(
             jax.ShapeDtypeStruct((Q, k), jnp.int32),
         ],
         interpret=interpret,
-    )(cids, queries_prep.astype(jnp.float32), vectors, scl_g, rid_g)
+    )(
+        cids,
+        nsb.astype(jnp.int32),
+        queries_prep.astype(jnp.float32),
+        vectors,
+        scl_g,
+        rid_g,
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("space", "k", "probes", "interpret", "qg", "nbuf"),
+    static_argnames=(
+        "space", "k", "probes", "interpret", "qg", "nbuf", "live_prefix"
+    ),
 )
 def search_clustered_pool(
     state,  # IvfState pytree
@@ -368,6 +442,7 @@ def search_clustered_pool(
     interpret: bool = False,
     qg: int | None = None,
     nbuf: int = NBUF,
+    live_prefix: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Large-k fused path: pool-mode kernel + one XLA top-k.
 
@@ -404,6 +479,7 @@ def search_clustered_pool(
         interpret=interpret,
         qg=qg,
         nbuf=nbuf,
+        nsb=live_prefix_blocks(state.valid) if live_prefix else None,
     )  # [Q, p*B]
     rids = jnp.take(rid_masked, cids, axis=0).reshape(Q, p * B)
     kk = min(k, p * B)
@@ -418,7 +494,9 @@ def search_clustered_pool(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("space", "k", "probes", "interpret", "qg", "nbuf"),
+    static_argnames=(
+        "space", "k", "probes", "interpret", "qg", "nbuf", "live_prefix"
+    ),
 )
 def search_clustered_fused(
     state,  # IvfState pytree
@@ -429,9 +507,11 @@ def search_clustered_fused(
     interpret: bool = False,
     qg: int | None = None,
     nbuf: int = NBUF,
+    live_prefix: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One-dispatch fused clustered search: preprocess + centroid route +
-    fused probe-scan kernel.  Same contract as ivf.search_clustered."""
+    fused probe-scan kernel.  Same contract as ivf.search_clustered.
+    `live_prefix=False` streams full padded buckets (A/B baseline)."""
     from . import distance as dist_mod
 
     cdt = state.centroids.dtype
@@ -457,4 +537,5 @@ def search_clustered_fused(
         interpret=interpret,
         qg=qg,
         nbuf=nbuf,
+        nsb=live_prefix_blocks(state.valid) if live_prefix else None,
     )
