@@ -412,10 +412,18 @@ def probe_fused_compiles() -> None:
     try:
         from vector_store_tpu.core.graph_pallas import gather_score_fused
 
+        # serving-shape operands, tiny bank: r4 lesson — the r3 probe's
+        # (8, 16) cand array compiled fine while the A/B's (2048, 192)
+        # blew the 1 MB SMEM budget as a scalar-prefetch operand.  BR
+        # matches the A/B rung (beam_width=6 * degree=32) and the bank
+        # is bf16 like the graph's, so tiling + memory-budget failures
+        # reproduce here at seconds of cost.
+        br = 6 * 32
         v = jnp.asarray(rng.standard_normal((512, D)).astype(np.float32))
+        v = v.astype(jnp.bfloat16)
         scl = jnp.ones((512,), jnp.float32)
-        q = jnp.asarray(rng.standard_normal((8, D)).astype(np.float32))
-        cand = jnp.asarray(rng.integers(0, 512, (8, 16)).astype(np.int32))
+        q = jnp.asarray(rng.standard_normal((512, D)).astype(np.float32))
+        cand = jnp.asarray(rng.integers(0, 512, (512, br)).astype(np.int32))
         np.asarray(gather_score_fused(v, scl, q, cand, "cosine", False))
         log(f"# probe graph fused kernel: compiles ({time.time() - t0:.0f}s)")
     except Exception as exc:  # noqa: BLE001 — probe must never kill the bench

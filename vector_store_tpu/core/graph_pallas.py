@@ -33,9 +33,20 @@ Reference role: the inner distance loop of usearch's beam search
 Layout (one grid step per query):
 
   grid            (Q,)
-  scalar-prefetch cand [Q, BR] int32   candidate slot per (query, lane),
+  inputs          cand [Q, BR] int32   candidate slot per (query, lane),
                                        pre-clipped to [0, C) by the
-                                       wrapper (sentinels masked outside)
+                                       wrapper (sentinels masked outside).
+                                       Streamed as per-query [1, BR] SMEM
+                                       blocks — NOT scalar-prefetch: the
+                                       prefetch operand lands in SMEM
+                                       wholesale, and at serving shapes
+                                       Q*BR*4 B blows the ~1 MB SMEM
+                                       budget ("Allocation (size=2097152)
+                                       would exceed memory (size=1048576)
+                                       ... prefetched SMEM operand 0",
+                                       the round-4 on-chip lesson).  A
+                                       blocked SMEM operand keeps only
+                                       one query's BR*4 B resident.
   inputs          q     [Q, 1, D] f32  preprocessed queries ([1, 1, D]
                                        block; the singleton middle axis
                                        satisfies Mosaic's block-shape
@@ -77,11 +88,9 @@ def sublanes_per_tile(dtype) -> int:
 
 def _kernel(cand_ref, q_ref, vec_hbm, scl_ref, out_d, *,
             br: int, space: str, quantized: bool, nbuf: int, t: int):
-    gi = pl.program_id(0)
-
     def body(blk_buf, row_buf, sems):
         def dma(j):
-            c = cand_ref[gi, j]
+            c = cand_ref[0, 0, j]
             return pltpu.make_async_copy(
                 vec_hbm.at[pl.ds(jax.lax.div(c, t), 1), :, :],
                 blk_buf.at[pl.ds(jax.lax.rem(j, nbuf), 1), :, :],
@@ -102,7 +111,7 @@ def _kernel(cand_ref, q_ref, vec_hbm, scl_ref, out_d, *,
             # [T, D] block (dynamic sublane indexing has the same
             # tile-alignment rule the DMA had; the masked sum does not).
             # Overlaps the ring's in-flight copies.
-            sub = jax.lax.rem(cand_ref[gi, j], t)
+            sub = jax.lax.rem(cand_ref[0, 0, j], t)
             x = blk_buf[pl.ds(jax.lax.rem(j, nbuf), 1), :, :].astype(
                 jnp.float32
             )  # [1, T, D]
@@ -184,33 +193,32 @@ def gather_score_fused(
     # sublane half, so give every per-query operand a singleton middle
     # axis — [Q, 1, D] with block (1, 1, D) — whose minor dims match the
     # array exactly.
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(Q,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, D), lambda g, cand: (g, 0, 0), memory_space=pltpu.VMEM
-            ),
-            # the vector bank stays in HBM (it is the stream source)
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(
-                (1, 1, br), lambda g, cand: (g, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, br), lambda g, cand: (g, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
     kern = functools.partial(
         _kernel, br=br, space=space, quantized=quantized, nbuf=nbuf, t=t
     )
     out = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid=(Q,),
+        in_specs=[
+            # per-query candidate ids: a [1, BR] SMEM block per grid step
+            # (see module docstring — scalar-prefetch would put the whole
+            # [Q, BR] array in SMEM and overflow it at serving shapes)
+            pl.BlockSpec((1, 1, br), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, D), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # the vector bank stays in HBM (it is the stream source)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 1, br), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, br), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((Q, 1, br), jnp.float32),
         interpret=interpret,
     )(
-        cand_safe,
+        cand_safe.reshape(Q, 1, br),
         queries_prep.astype(jnp.float32).reshape(Q, 1, D),
         vec3,
         scl_g.reshape(Q, 1, br),
