@@ -79,7 +79,14 @@ EF_LADDER = (
     dict(ef_search=192, iters=24, beam_width=8),
     dict(ef_search=256, iters=32, beam_width=8),
 )
-PROBE_LADDER = (4, 8, 16, 32)
+# IVF serving geometry: bucket width ~2x the old 170 default.  The r4
+# on-chip sweep (scripts/probe_fused_sweep.py --rpb 340) showed bigger
+# buckets dominate: p=2 @ rpb=340 reaches recall@10=0.969 at ~280-310k
+# QPS vs p=4 @ rpb=170's 0.960 at ~220-235k — same scanned bytes in
+# half the DMA issues (the scan is issue-bound, see ivf_pallas.py), and
+# the k-means build runs ~3x faster on half the clusters.
+IVF_RPB = int(os.environ.get("VST_BENCH_IVF_RPB", "340"))
+PROBE_LADDER = (2, 4, 8, 16)
 
 
 RECAP: list[str] = []
@@ -547,6 +554,7 @@ def bench_ivf(x, queries, exact, timer, fused_ok):
     ivf = IvfIndex(
         IndexParams(dimensions=d, space="cosine", dtype="int8"),
         initial_capacity=n,
+        rows_per_bucket=IVF_RPB,
     )
     # single add(): slicing would change the recluster cadence (one
     # recluster at the end vs one per slice + growth doublings); the
@@ -1173,6 +1181,7 @@ def bench_ivf_bf16(x, queries, exact, timer) -> None:
     ivf = IvfIndex(
         IndexParams(dimensions=d, space="cosine", dtype="bfloat16"),
         initial_capacity=n,
+        rows_per_bucket=IVF_RPB,
     )
     t0 = time.time()
     ivf.add(x)
@@ -1182,7 +1191,7 @@ def bench_ivf_bf16(x, queries, exact, timer) -> None:
         return
     st = ivf.state
     qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
-    for probes in (4, 8):
+    for probes in (2, 4):
         if remaining() < 60:
             break
         _, i_ = ivf.search(queries, K, probes=probes)

@@ -21,6 +21,7 @@ import numpy as np
 
 RPB = 170
 LIVE_PREFIX = None  # None = sweep both; 0/1 pins one mode
+SCORE = "f32"  # f32 | qi8 (int8 MXU dot) | stub (DMA-floor ablation)
 args = []
 it = iter(sys.argv[1:])
 for a in it:
@@ -28,6 +29,8 @@ for a in it:
         RPB = int(next(it))
     elif a == "--live-prefix":
         LIVE_PREFIX = int(next(it))
+    elif a == "--score":
+        SCORE = next(it)
     else:
         args.append(a)
 N = int(args[0]) if args else 1_000_000
@@ -103,7 +106,7 @@ def main():
                     try:
                         d_, i_ = search_clustered_fused(
                             st, qdev[0], "cosine", K, p, qg=qg, nbuf=nbuf,
-                            live_prefix=lp,
+                            live_prefix=lp, score=SCORE,
                         )
                         jax.block_until_ready(i_)
                         r = recall_of(np.asarray(i_), exact)
@@ -119,7 +122,7 @@ def main():
                             outs = [
                                 search_clustered_fused(
                                     st, qdev[r_], "cosine", K, p, qg=qg,
-                                    nbuf=nbuf, live_prefix=lp,
+                                    nbuf=nbuf, live_prefix=lp, score=SCORE,
                                 )[0]
                                 for r_ in range(8)
                             ]
@@ -137,7 +140,7 @@ def main():
                         print(f"#  p={p} lp={int(lp)} qg={qg} nbuf={nbuf}: "
                               f"FAIL {type(e).__name__}: {str(e)[:120]}",
                               flush=True)
-        print(f"# p={p} recall@10={base_r:.3f}", flush=True)
+        print(f"# p={p} recall@10={base_r:.3f} (score={SCORE})", flush=True)
 
 
 if __name__ == "__main__":

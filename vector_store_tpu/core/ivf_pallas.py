@@ -60,35 +60,47 @@ NBUF = 4
 # Live-prefix sub-block: each probed bucket is DMA'd as ceil(used/SB)
 # copies of SB rows instead of the full padded B.  Buckets are sized
 # with 1.5x slack for churn headroom (ivf.bucket_for), so at bulk-load
-# occupancy (~45-67%) this cuts the streamed bytes — the scan's actual
-# bottleneck — by 1.4-1.9x.  128 is tile-aligned for every storage
-# dtype (f32 8x128 / bf16 16x128 / int8+packed-int4 32x128) and divides
-# every bucket width (bucket_for rounds to 128).  Lanes beyond the live
-# prefix are never copied; they hold stale VMEM garbage and are masked
-# to INF via the rowid sentinels, which cover exactly the same slots.
+# occupancy (~45-67%) this cuts the streamed bytes by 1.4-1.9x.  128 is
+# tile-aligned for every storage dtype (f32 8x128 / bf16 16x128 /
+# int8+packed-int4 32x128) and divides every bucket width (bucket_for
+# rounds to 128).  Lanes beyond the live prefix are never copied; they
+# hold stale VMEM garbage and are masked to INF via the rowid
+# sentinels, which cover exactly the same slots.
+#
+# Measured on-chip (r4, bucket 640, p=2): an adaptive sb=B//2 variant
+# (fewer, bigger issues) ran ~5-10% SLOWER than fixed 128 — the byte
+# waste at high occupancy beats the per-issue saving, so 128 stays.
 SB = 128
 
 
-def live_prefix_blocks(valid: jnp.ndarray, block: int = SB) -> jnp.ndarray:
-    """Per-cluster count of SB-row sub-blocks covering the live rows:
-    ceil((last live slot + 1) / block).  [K] i32; 0 for empty buckets."""
+def sub_block_rows(bucket: int) -> int:
+    """DMA sub-copy height for a bucket of `bucket` rows (see above)."""
+    return SB
+
+
+def live_prefix_blocks(valid: jnp.ndarray, block: int | None = None) -> jnp.ndarray:
+    """Per-cluster count of sub-blocks covering the live rows:
+    ceil((last live slot + 1) / block).  [K] i32; 0 for empty buckets.
+    `block` defaults to sub_block_rows(B) and must match the kernel's."""
     K, B = valid.shape
+    if block is None:
+        block = sub_block_rows(B)
     lane = jax.lax.broadcasted_iota(jnp.int32, (K, B), 1)
     upper = jnp.max(jnp.where(valid, lane + 1, 0), axis=1)
     return (upper + block - 1) // block
 
 
-def _dma_ring(cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg):
+def _dma_ring(cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg, sb):
     """start/wait pair for the live-prefix DMA ring: bucket (l, r) of
-    grid step gi is copied as nsb[c] sub-copies of SB rows into ring
+    grid step gi is copied as nsb[c] sub-copies of sb rows into ring
     slot `slot` (every sub-copy signals the slot's semaphore once; the
     wait loop reconstructs and waits each)."""
 
     def mk(slot, c, sub):
-        off = pl.multiple_of(sub * SB, SB)
+        off = pl.multiple_of(sub * sb, sb)
         return pltpu.make_async_copy(
-            vec_hbm.at[c, pl.ds(off, SB), :],
-            vbuf.at[slot, pl.ds(off, SB), :],
+            vec_hbm.at[c, pl.ds(off, sb), :],
+            vbuf.at[slot, pl.ds(off, sb), :],
             sems.at[slot],
         )
 
@@ -115,13 +127,15 @@ def _dma_ring(cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg):
 
 def _kernel(cids_ref, nsb_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r,
             *, p: int, k: int, space: str, quantized: bool, qg: int = QG,
-            nbuf: int = NBUF):
+            nbuf: int = NBUF, score: str = "f32"):
     B = vec_hbm.shape[1]
     gi = pl.program_id(0)
 
+    sb = sub_block_rows(B)
+
     def body(vbuf, cand_d, sems):
         dma_start, dma_wait = _dma_ring(
-            cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg
+            cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg, sb
         )
 
         steps = [(l, r) for l in range(qg) for r in range(p)]
@@ -135,23 +149,53 @@ def _kernel(cids_ref, nsb_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r,
                 dma_start((s + depth - 1) % nbuf, *steps[s + depth - 1])
             dma_wait(slot, l, r)
 
-            x = vbuf[slot].astype(jnp.float32)  # [B, D]
-            qv = q_ref[l, :]  # [D] — static sublane pick
-            dots = jnp.dot(x, qv, preferred_element_type=jnp.float32)
             sc = scl_ref[0, l, r, :]  # [B] — static indices
-            if quantized:
-                dots = dots * sc
-            if space == "l2":
-                # stored rows are raw; ||x||^2 needs the block too
-                x_sq = jnp.sum(x * x, axis=-1)
+            if score == "stub":
+                # ablation mode (scripts/probe_fused_sweep.py --score
+                # stub): touch one lane column of the landed block so
+                # the DMA isn't dead-code-eliminated, skip the dot —
+                # measures the kernel's DMA + overhead floor.
+                d = vbuf[slot][:, 0].astype(jnp.float32) * sc
+            elif score == "qi8":
+                # rows AND query stay int8, so the dot rides the MXU's
+                # s8xs8->s32 path and the [B, D] int8->f32 cast — the
+                # VPU cost that dominates the f32 path at these shapes —
+                # disappears.  The query's own quantization scale is
+                # folded into scl_ref by the wrapper, so `sc`
+                # dequantizes both sides at once.  cosine/dot only
+                # (wrapper-enforced); the query arrives as rounded i32.
+                # Mosaic's s8 lowering rejects the 1-column matvec form
+                # (compiler crash, r4 on-chip probe) — an 8-column RHS
+                # with the query in column 0 costs the same MXU passes
+                # and compiles.
+                qv = q_ref[l, :]  # [D] i32
+                dd = qv.shape[0]
+                qm = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (dd, 8), 1) == 0,
+                    qv[:, None],
+                    0,
+                ).astype(jnp.int8)
+                dots = jnp.dot(
+                    vbuf[slot], qm, preferred_element_type=jnp.int32
+                )[:, 0].astype(jnp.float32) * sc
+                d = -dots if space == "dot" else 1.0 - dots
+            else:
+                x = vbuf[slot].astype(jnp.float32)  # [B, D]
+                qv = q_ref[l, :]  # [D] — static sublane pick
+                dots = jnp.dot(x, qv, preferred_element_type=jnp.float32)
                 if quantized:
-                    x_sq = x_sq * sc * sc
-                q_sq = jnp.sum(qv * qv)
-                d = q_sq + x_sq - 2.0 * dots
-            elif space == "dot":
-                d = -dots
-            else:  # cosine: rows normalized, dist = 1 - cos
-                d = 1.0 - dots
+                    dots = dots * sc
+                if space == "l2":
+                    # stored rows are raw; ||x||^2 needs the block too
+                    x_sq = jnp.sum(x * x, axis=-1)
+                    if quantized:
+                        x_sq = x_sq * sc * sc
+                    q_sq = jnp.sum(qv * qv)
+                    d = q_sq + x_sq - 2.0 * dots
+                elif space == "dot":
+                    d = -dots
+                else:  # cosine: rows normalized, dist = 1 - cos
+                    d = 1.0 - dots
             rid = rid_ref[0, l, r, :]
             d = jnp.where(rid == SENTINEL, INF, d)
             cand_d[l, r * B : (r + 1) * B] = d
@@ -199,9 +243,11 @@ def _pool_kernel(cids_ref, nsb_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d,
     B = vec_hbm.shape[1]
     gi = pl.program_id(0)
 
+    sb = sub_block_rows(B)
+
     def body(vbuf, sems):
         dma_start, dma_wait = _dma_ring(
-            cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg
+            cids_ref, nsb_ref, vec_hbm, vbuf, sems, gi, qg, sb
         )
 
         steps = [(l, r) for l in range(qg) for r in range(p)]
@@ -287,7 +333,7 @@ def pool_scan_fused(
     p = probes
     K, B = vectors.shape[0], vectors.shape[1]
     if nsb is None:
-        nsb = jnp.full((K,), B // SB, jnp.int32)
+        nsb = jnp.full((K,), -(-B // sub_block_rows(B)), jnp.int32)
 
     scl_g = jnp.take(scales, cids, axis=0).reshape(Q // qg, qg, p, B)
     rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // qg, qg, p, B)
@@ -342,7 +388,8 @@ def pool_scan_fused(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "space", "k", "probes", "quantized", "interpret", "qg", "nbuf"
+        "space", "k", "probes", "quantized", "interpret", "qg", "nbuf",
+        "score",
     ),
 )
 def search_fused(
@@ -359,6 +406,7 @@ def search_fused(
     qg: int | None = None,
     nbuf: int = NBUF,
     nsb: jnp.ndarray | None = None,  # [K] i32 live-prefix sub-blocks
+    score: str = "f32",  # "f32" | "qi8" (s8xs8 MXU dot) | "stub" (ablation)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     Q, D = queries_prep.shape
     if qg is None:
@@ -370,11 +418,25 @@ def search_fused(
     p = probes
     K, B = vectors.shape[0], vectors.shape[1]
     if nsb is None:
-        nsb = jnp.full((K,), B // SB, jnp.int32)
+        nsb = jnp.full((K,), -(-B // sub_block_rows(B)), jnp.int32)
 
     # pre-gather the 2-lane side arrays per probe (XLA gather; <1% of the
     # vector-block bytes) and group them to match the grid blocks
-    scl_g = jnp.take(scales, cids, axis=0).reshape(Q // qg, qg, p, B)
+    scl = jnp.take(scales, cids, axis=0)  # [Q, p, B]
+    if score == "qi8":
+        if space == "l2" or not quantized:
+            raise ValueError("score='qi8' needs int8 rows and cosine/dot")
+        # symmetric per-query int8 quantization; the scale folds into the
+        # per-row dequant scales so the kernel needs no extra operand
+        qs = jnp.maximum(jnp.max(jnp.abs(queries_prep), axis=1), 1e-30)
+        qs = qs / 127.0  # [Q]
+        q_in = jnp.clip(
+            jnp.round(queries_prep / qs[:, None]), -127, 127
+        ).astype(jnp.int32)
+        scl = scl * qs[:, None, None]
+    else:
+        q_in = queries_prep.astype(jnp.float32)
+    scl_g = scl.reshape(Q // qg, qg, p, B)
     rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // qg, qg, p, B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -407,7 +469,8 @@ def search_fused(
         ],
     )
     kern = functools.partial(
-        _kernel, p=p, k=k, space=space, quantized=quantized, qg=qg, nbuf=nbuf
+        _kernel, p=p, k=k, space=space, quantized=quantized, qg=qg, nbuf=nbuf,
+        score=score,
     )
     return pl.pallas_call(
         kern,
@@ -420,7 +483,7 @@ def search_fused(
     )(
         cids,
         nsb.astype(jnp.int32),
-        queries_prep.astype(jnp.float32),
+        q_in,
         vectors,
         scl_g,
         rid_g,
@@ -495,7 +558,8 @@ def search_clustered_pool(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "space", "k", "probes", "interpret", "qg", "nbuf", "live_prefix"
+        "space", "k", "probes", "interpret", "qg", "nbuf", "live_prefix",
+        "score",
     ),
 )
 def search_clustered_fused(
@@ -508,10 +572,14 @@ def search_clustered_fused(
     qg: int | None = None,
     nbuf: int = NBUF,
     live_prefix: bool = True,
+    score: str = "f32",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One-dispatch fused clustered search: preprocess + centroid route +
     fused probe-scan kernel.  Same contract as ivf.search_clustered.
-    `live_prefix=False` streams full padded buckets (A/B baseline)."""
+    `live_prefix=False` streams full padded buckets (A/B baseline);
+    `score='qi8'` (int8 rows, cosine/dot only) also quantizes the query
+    so the in-kernel dot runs s8xs8 on the MXU; `score='stub'` is the
+    probe-only DMA-floor ablation."""
     from . import distance as dist_mod
 
     cdt = state.centroids.dtype
@@ -538,4 +606,5 @@ def search_clustered_fused(
         qg=qg,
         nbuf=nbuf,
         nsb=live_prefix_blocks(state.valid) if live_prefix else None,
+        score=score,
     )
