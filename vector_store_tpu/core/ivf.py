@@ -90,7 +90,15 @@ class IvfState(NamedTuple):
 # up to 2.05x the data — at 8M x 768 int8 that is a 12.3GB bank, which
 # (with the recluster's transients) no longer fits a 16GB chip.  Larger
 # targets trade probe granularity (recall per scanned byte) for larger
-# contiguous DMA blocks in the fused scan (effective HBM bandwidth).
+# contiguous DMA blocks in the fused scan (effective HBM bandwidth):
+# the r4 on-chip sweep found 340 (bucket 640) at probes=2 beats 170
+# (bucket 384) at probes=4 on BOTH recall (0.969 vs 0.960) and QPS
+# (~280-310k vs ~220-235k) at 1M x 768 — serving deployments should
+# set VST_IVF_ROWS_PER_BUCKET=340 and halve their probe count (the
+# bench does, bench.py IVF_RPB).  It stays opt-in because bucket
+# rounding is geometry-dependent: at 8M x 768 the 340 target rounds
+# the bucket 640/512.2 = +25% over the data (vs +0.2% at 170), and
+# the bank would outgrow the chip sooner.
 ROWS_PER_BUCKET = int(os.environ.get("VST_IVF_ROWS_PER_BUCKET", "170"))
 
 
