@@ -252,3 +252,45 @@ def test_pool_mode_large_k_matches_xla():
     assert overlap >= 0.97, overlap
     dead = set(ids[3:9].tolist())
     assert not (set(r_p.reshape(-1).tolist()) & dead)
+
+
+@pytest.mark.slow
+def test_score_modes():
+    """score='qi8' (query quantized to int8, s8xs8 MXU dot) must rank
+    ~the same ids as the f32 dot on int8 rows — small dequant error is
+    allowed, exact id equality is not required.  score='stub' (the
+    DMA-floor ablation) must run and return well-formed [Q, k] ids."""
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+
+    d = 128
+    x = _clustered(6000, d, seed=13)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        cluster_min=4000,
+    )
+    idx.add(x)
+    st = idx.state
+    q = jnp.asarray(x[:8])
+    _, r_f32 = search_clustered_fused(st, q, "cosine", 10, 8, interpret=True)
+    _, r_qi8 = search_clustered_fused(
+        st, q, "cosine", 10, 8, interpret=True, score="qi8"
+    )
+    overlap = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(r_f32), np.asarray(r_qi8))
+        ]
+    )
+    assert overlap >= 0.9, overlap
+
+    d_s, r_s = search_clustered_fused(
+        st, q, "cosine", 10, 8, interpret=True, score="stub"
+    )
+    assert np.asarray(r_s).shape == (8, 10)
+
+    with pytest.raises(ValueError):
+        search_clustered_fused(
+            st, q, "l2", 10, 8, interpret=True, score="qi8"
+        )
