@@ -1457,7 +1457,7 @@ def main() -> None:
         ("graph rung + fused A/B", 200, lambda: bench_graph(x, queries, exact, timer)),
         ("serving-path latency", 200, bench_serving_latency),
         ("config-4 churn+compact", 240, churn_phase),
-        ("ivf-bf16 tier", 200, lambda: bench_ivf_bf16(x, queries, exact, timer)),
+        ("ivf-bf16 tier", 150, lambda: bench_ivf_bf16(x, queries, exact, timer)),
         ("scan-int8", 150, lambda: bench_scan_int8(x, queries, exact, timer)),
         ("real-data recall", 150, lambda: bench_real_data(timer)),
     ]

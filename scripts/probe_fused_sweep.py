@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 RPB = 170
+QOVR = None  # --q N: queries per dispatch (default 1024)
+NO_ORACLE = False  # --no-oracle: skip the exact-search recall check
 LIVE_PREFIX = None  # None = sweep both; 0/1 pins one mode
 SCORE = "f32"  # f32 | qi8 (int8 MXU dot) | stub (DMA-floor ablation)
 args = []
@@ -31,11 +33,15 @@ for a in it:
         LIVE_PREFIX = int(next(it))
     elif a == "--score":
         SCORE = next(it)
+    elif a == "--q":
+        QOVR = int(next(it))
+    elif a == "--no-oracle":
+        NO_ORACLE = True
     else:
         args.append(a)
 N = int(args[0]) if args else 1_000_000
 PROBES = [int(a) for a in args[1:]] or [4]
-D, Q, K = 768, 1024, 10
+D, Q, K = 768, (QOVR or 1024), 10
 
 from bench import make_dataset, recall_of  # noqa: E402
 
@@ -72,7 +78,10 @@ def main():
         print(f"# build: {N / (time.time() - t0):.0f} vec/s "
               f"clusters={idx.n_clusters} bucket={idx.state.bucket}", flush=True)
         idx.save(snap)
-    _, exact = idx.exact_search(queries, K)
+    if NO_ORACLE:
+        exact = np.full((Q, K), -1, np.int64)  # recall prints ~0; timing only
+    else:
+        _, exact = idx.exact_search(queries, K)
     st = idx.state
     B = int(st.bucket)
     qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(8)]

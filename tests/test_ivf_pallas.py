@@ -274,23 +274,25 @@ def test_score_modes():
     st = idx.state
     q = jnp.asarray(x[:8])
     _, r_f32 = search_clustered_fused(st, q, "cosine", 10, 8, interpret=True)
-    _, r_qi8 = search_clustered_fused(
-        st, q, "cosine", 10, 8, interpret=True, score="qi8"
-    )
-    overlap = np.mean(
-        [
-            len(set(a.tolist()) & set(b.tolist())) / 10
-            for a, b in zip(np.asarray(r_f32), np.asarray(r_qi8))
-        ]
-    )
-    assert overlap >= 0.9, overlap
+    for mode in ("qi8", "bf16"):
+        _, r_m = search_clustered_fused(
+            st, q, "cosine", 10, 8, interpret=True, score=mode
+        )
+        overlap = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / 10
+                for a, b in zip(np.asarray(r_f32), np.asarray(r_m))
+            ]
+        )
+        assert overlap >= 0.9, (mode, overlap)
 
     d_s, r_s = search_clustered_fused(
         st, q, "cosine", 10, 8, interpret=True, score="stub"
     )
     assert np.asarray(r_s).shape == (8, 10)
 
-    with pytest.raises(ValueError):
-        search_clustered_fused(
-            st, q, "l2", 10, 8, interpret=True, score="qi8"
-        )
+    for mode in ("qi8", "bf16"):
+        with pytest.raises(ValueError):
+            search_clustered_fused(
+                st, q, "l2", 10, 8, interpret=True, score=mode
+            )

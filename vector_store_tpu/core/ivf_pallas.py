@@ -179,6 +179,29 @@ def _kernel(cids_ref, nsb_ref, q_ref, vec_hbm, scl_ref, rid_ref, out_d, out_r,
                     vbuf[slot], qm, preferred_element_type=jnp.int32
                 )[:, 0].astype(jnp.float32) * sc
                 d = -dots if space == "dot" else 1.0 - dots
+            elif score == "bf16":
+                # rows cast int8->bf16 (exact: |v| <= 127), dot as a
+                # bf16 MXU matmul with f32 accumulate, query rounded
+                # f32->bf16.  Same 8-column RHS trick as qi8 (Mosaic
+                # rejects non-f32 matvecs).  Measured on-chip (r4,
+                # bucket 640, p=2): ~245k QPS vs the f32 matvec's
+                # ~275-310k (and qi8's 146k) at equal recall — the
+                # [D, 8] matmul form loses to the f32 matvec lowering,
+                # so this stays an ablation mode, not the default.
+                # cosine/dot only (wrapper-enforced).
+                qv = q_ref[l, :]  # [D] f32
+                dd = qv.shape[0]
+                qm = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (dd, 8), 1) == 0,
+                    qv[:, None],
+                    0.0,
+                ).astype(jnp.bfloat16)
+                dots = jnp.dot(
+                    vbuf[slot].astype(jnp.bfloat16),
+                    qm,
+                    preferred_element_type=jnp.float32,
+                )[:, 0] * sc
+                d = -dots if space == "dot" else 1.0 - dots
             else:
                 x = vbuf[slot].astype(jnp.float32)  # [B, D]
                 qv = q_ref[l, :]  # [D] — static sublane pick
@@ -435,6 +458,8 @@ def search_fused(
         ).astype(jnp.int32)
         scl = scl * qs[:, None, None]
     else:
+        if score == "bf16" and (space == "l2" or not quantized):
+            raise ValueError("score='bf16' needs int8 rows and cosine/dot")
         q_in = queries_prep.astype(jnp.float32)
     scl_g = scl.reshape(Q // qg, qg, p, B)
     rid_g = jnp.take(rowid_masked, cids, axis=0).reshape(Q // qg, qg, p, B)
