@@ -24,6 +24,9 @@ QOVR = None  # --q N: queries per dispatch (default 1024)
 NO_ORACLE = False  # --no-oracle: skip the exact-search recall check
 LIVE_PREFIX = None  # None = sweep both; 0/1 pins one mode
 SCORE = "f32"  # f32 | qi8 (int8 MXU dot) | stub (DMA-floor ablation)
+GEO = None  # --geo qg,nbuf: pin ONE geometry (the full 3x3 sweep is
+#             ~9 fresh kernel compiles and does not fit a 10-minute
+#             window on this tunnel; single-geometry probes do)
 args = []
 it = iter(sys.argv[1:])
 for a in it:
@@ -37,6 +40,8 @@ for a in it:
         QOVR = int(next(it))
     elif a == "--no-oracle":
         NO_ORACLE = True
+    elif a == "--geo":
+        GEO = tuple(int(v) for v in next(it).split(","))
     else:
         args.append(a)
 N = int(args[0]) if args else 1_000_000
@@ -62,12 +67,19 @@ def main():
     x, queries = make_dataset(N, D, 2048)
     queries = queries[:Q]
     snap = f"/tmp/vst_ivf_{N}_int8_rpb{RPB}.npz"
+    idx = None
     if os.path.exists(snap):
         t0 = time.time()
-        idx = IvfIndex.load(snap)
-        print(f"# restored in {time.time() - t0:.0f}s "
-              f"clusters={idx.n_clusters} bucket={idx.state.bucket}", flush=True)
-    else:
+        try:
+            idx = IvfIndex.load(snap)
+            print(f"# restored in {time.time() - t0:.0f}s "
+                  f"clusters={idx.n_clusters} bucket={idx.state.bucket}",
+                  flush=True)
+        except Exception as e:  # truncated by a mid-save kill — rebuild
+            print(f"# stale snapshot ({type(e).__name__}), rebuilding",
+                  flush=True)
+            os.unlink(snap)
+    if idx is None:
         idx = IvfIndex(
             IndexParams(dimensions=D, space="cosine", dtype="int8"),
             initial_capacity=N,
@@ -104,8 +116,8 @@ def main():
     for p in PROBES:
         base_r = None
         for lp in lp_modes:
-            for qg in (8, 16, 32):
-                for nbuf in (2, 4, 8):
+            for qg in ((GEO[0],) if GEO else (8, 16, 32)):
+                for nbuf in ((GEO[1],) if GEO else (2, 4, 8)):
                     # VMEM: nbuf*B*D bytes (int8) + qg*p*B*4
                     vmem = nbuf * B * D + qg * p * B * 4
                     if vmem > 12 * 2**20:

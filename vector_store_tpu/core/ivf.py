@@ -37,6 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.persistio import atomic_savez
 
 from ..types import IndexParams
 from ..utils.device import drain_dispatch
@@ -1394,7 +1395,7 @@ class IvfIndex:
                 # bf16 has no portable npz encoding; ride as f32
                 else np.asarray(s.vectors.astype(jnp.float32))
             )
-            np.savez(
+            atomic_savez(
                 path,
                 vectors=vectors,
                 scales=np.asarray(s.scales),

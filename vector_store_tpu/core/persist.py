@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
+from ..utils.persistio import atomic_savez_compressed
 
 from ..types import IndexParams
 from .graph import GraphConfig, GraphState
@@ -54,7 +55,7 @@ def _save_locked(
         if index.cfg.quantized
         else np.asarray(state.vectors.astype(jnp.float32))
     )
-    np.savez_compressed(
+    atomic_savez_compressed(
         path,
         vectors=vectors,
         scales=np.asarray(state.scales),

@@ -27,6 +27,7 @@ import threading
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.persistio import atomic_savez_compressed
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.6 exports shard_map at top level
@@ -679,7 +680,7 @@ class ShardedSlotIndex:
             if self.cfg.quantized
             else np.asarray(s.vectors.astype(jnp.float32))
         )
-        np.savez_compressed(
+        atomic_savez_compressed(
             path,
             vectors=vectors,
             scales=np.asarray(s.scales),

@@ -36,6 +36,7 @@ import threading
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.persistio import atomic_savez
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.6 exports shard_map at top level
@@ -969,7 +970,7 @@ class ShardedIvfIndex:
                 if self.dtype != "bfloat16"
                 else np.asarray(s.vectors.astype(jnp.float32))
             )
-            np.savez(
+            atomic_savez(
                 path,
                 vectors=vectors,
                 scales=np.asarray(s.scales),

@@ -41,6 +41,7 @@ from collections import Counter
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.persistio import atomic_savez_compressed
 
 from ..core.topk import INF, SENTINEL
 from . import query as query_mod
@@ -300,7 +301,7 @@ class BM25Index:
         if f:
             off[1:] = np.cumsum([len(s) for s in seqs])
         words = sorted(self._vocab)
-        np.savez_compressed(
+        atomic_savez_compressed(
             path,
             version=np.int64(self.FORMAT_VERSION),
             terms=self._terms[:f],
