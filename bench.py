@@ -919,6 +919,21 @@ def bench_graph(x, queries, exact, timer) -> None:
 
     n, d = x.shape
     n_graph = min(n, int(os.environ.get("VST_BENCH_GRAPH_N", str(1 << 17))))
+    if n_graph < n:
+        # Capped build: generate a SELF-CONSISTENT corpus of the capped
+        # size (cluster count scaled to n_graph) instead of slicing the
+        # 1M corpus.  The r4 rung benched the prefix slice and saturated
+        # at 0.939-0.943 flat in ef; diagnosis (scripts/
+        # diag_graph_recall.py) showed the prefix is an artifact — the
+        # 1M corpus has n/50 = 20k centers, so a 131k prefix holds ~6.5
+        # rows per center and ~26% of every true top-10 are
+        # near-orthogonal random rows (mean cos 0.35, margins ~1/sqrt(d))
+        # that NO graph traversal can navigate to.  The same build on a
+        # corpus whose statistics match its size (131k/50 centers, ~50
+        # rows each, like the 1M run the r1 0.986 measured) reaches
+        # 0.9895 at ef=64.  A capped rung must bench a corpus a 131k
+        # deployment would actually hold.
+        x, queries = make_dataset(n_graph, d, len(queries), seed=SEED)
     cap = max(1 << 16, 1 << (n_graph - 1).bit_length())
     idx = SlotIndex(
         IndexParams(dimensions=d, space="cosine", capacity=n_graph),
@@ -933,8 +948,8 @@ def bench_graph(x, queries, exact, timer) -> None:
     qdev_vars = [jnp.roll(jnp.asarray(queries), r, axis=0) for r in range(12)]
     if n_graph < n:
         # capped build: the full-dataset oracle doesn't apply — one
-        # exact scan over the graph's own (prefix) bank keeps the rung
-        # recalls real (graph slots are insertion-ordered, so ids align)
+        # exact scan over the graph's own bank keeps the rung recalls
+        # real (graph slots are insertion-ordered, so ids align)
         qp = dist_mod.preprocess(qdev_vars[0], "cosine").astype(
             idx.cfg.compute_dtype
         )

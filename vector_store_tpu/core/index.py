@@ -395,11 +395,20 @@ class SlotIndex:
 
     # -- query -------------------------------------------------------------
 
-    def search(
+    def search_dispatch(
         self, queries: np.ndarray, k: int, exact: bool | None = None
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Batched ANN query → (dist[n, k], slots[n, k]); missing results
-        are (+inf, -1).  `exact` overrides the index's default backend."""
+    ):
+        """Dispatch a batched ANN query; returns fetch() -> (dist, slots).
+
+        The device step is issued under the index lock; the returned
+        closure blocks on the host readback and may run OUTSIDE the lock.
+        Safe because a single device executes computations in dispatch
+        order: a later insert's donated-buffer step runs strictly after
+        this search's kernels finish, and the fetched arrays are fresh
+        search outputs, never aliased to the bank.  Releasing the lock
+        before the readback lets the serving path keep multiple device
+        batches in flight over a high-latency link (MicroBatcher depth).
+        """
         exact = self._exact if exact is None else exact
         queries = np.asarray(queries, dtype=np.float32)
         single = queries.ndim == 1
@@ -430,17 +439,27 @@ class SlotIndex:
                 )
             else:
                 dist, ids = search.search(state, jnp.asarray(queries), self.cfg, k)
-            # Materialise before releasing the lock: a later insert donates
-            # these buffers, so the computation must be complete first.
+            dist, ids = dist[:n], ids[:n]
+
+        def fetch() -> tuple[np.ndarray, np.ndarray]:
             # One pipelined fetch for both arrays — device_get issues the
             # host copies async before blocking, so a high-latency link
             # (tunnel/PCIe) is paid once, not once per array.
-            dist, ids = jax.device_get((dist[:n], ids[:n]))
-            ids = ids.astype(np.int64)
-        ids[~np.isfinite(dist)] = -1
-        if single:
-            return dist[0], ids[0]
-        return dist, ids
+            dist_h, ids_h = jax.device_get((dist, ids))
+            ids_h = ids_h.astype(np.int64)
+            ids_h[~np.isfinite(dist_h)] = -1
+            if single:
+                return dist_h[0], ids_h[0]
+            return dist_h, ids_h
+
+        return fetch
+
+    def search(
+        self, queries: np.ndarray, k: int, exact: bool | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched ANN query → (dist[n, k], slots[n, k]); missing results
+        are (+inf, -1).  `exact` overrides the index's default backend."""
+        return self.search_dispatch(queries, k, exact)()
 
     def exact_search(
         self, queries: np.ndarray, k: int

@@ -1280,10 +1280,19 @@ class IvfIndex:
                 )
         return self._coarse_bank
 
-    def search(
+    def search_dispatch(
         self, queries: np.ndarray, k: int, probes: int | None = None
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """(dist[n, k] ascending, rowids[n, k]); absent results (-inf, -1)."""
+    ):
+        """Dispatch a batched query; returns fetch() -> (dist, rowids).
+
+        The device steps are issued under the index lock; the returned
+        closure blocks on the readback and may run OUTSIDE the lock.
+        Safe on a single ordered device stream: a later insert's
+        donated-buffer step executes strictly after these kernels, and
+        the fetched arrays are fresh outputs, never bank aliases.  This
+        is what lets the serving path keep several device batches in
+        flight over a high-latency link (MicroBatcher pipeline depth).
+        """
         probes = probes or self.probes
         queries = np.asarray(queries, dtype=np.float32)
         single = queries.ndim == 1
@@ -1348,17 +1357,26 @@ class IvfIndex:
                     dd, ii = search_flat(state, jnp.asarray(blk), self.space, k)
                 outs_d.append(dd[:m])
                 outs_i.append(ii[:m])
+
+        def fetch() -> tuple[np.ndarray, np.ndarray]:
             # all chunk dispatches are in flight — fetch everything in one
             # pipelined device_get (async host copies issued up front), so
-            # a high-latency link is paid once, not 2x per chunk.  Must
-            # happen under the lock: a later insert donates these buffers.
-            outs_d, outs_i = jax.device_get((outs_d, outs_i))
-        dist = np.concatenate(outs_d)
-        ids = np.concatenate(outs_i).astype(np.int64)
-        ids[~np.isfinite(dist)] = -1
-        if single:
-            return dist[0], ids[0]
-        return dist, ids
+            # a high-latency link is paid once, not 2x per chunk.
+            d_h, i_h = jax.device_get((outs_d, outs_i))
+            dist = np.concatenate(d_h)
+            ids = np.concatenate(i_h).astype(np.int64)
+            ids[~np.isfinite(dist)] = -1
+            if single:
+                return dist[0], ids[0]
+            return dist, ids
+
+        return fetch
+
+    def search(
+        self, queries: np.ndarray, k: int, probes: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(dist[n, k] ascending, rowids[n, k]); absent results (-inf, -1)."""
+        return self.search_dispatch(queries, k, probes)()
 
     # -- persistence ------------------------------------------------------
 

@@ -122,26 +122,38 @@ class AnnIndexBackend:
         metrics.counter("vst_ann_queries_total", index=str(self.index_id)).inc(
             len(items)
         )
-        # the serve lock spans BOTH the search and the slot→key mapping:
-        # slots from the pre-compact state must never map through the
-        # post-compact keymap (and vice versa)
+        # the serve lock pairs the index state with its keymap: slots
+        # from the pre-compact state must never map through the
+        # post-compact keymap (and vice versa).  The lock covers the
+        # DISPATCH and the keymap snapshot only — the host readback
+        # (fetch) runs outside it, so several flush threads can keep
+        # device batches in flight over a high-latency link
+        # (MicroBatcher pipeline depth).  Compaction swaps in a brand-new
+        # KeyMap object under this lock, so a snapshot taken with the
+        # old state keeps mapping consistently through the old keymap.
         with self._serve_lock:
             with metrics.timed(
                 "vst_ann_batch_seconds", backend=type(self.index).__name__
             ):
-                dist, slots = self.index.search(queries, k_max)
-            out = []
-            for j, (_, k) in enumerate(items):
-                keys, dists = [], []
-                for s, d in zip(slots[j][:k], dist[j][:k]):
-                    if s < 0:
-                        continue
-                    key = self.keymap.key_of(int(s))
-                    if key is None:
-                        continue  # slot tombstoned between search and mapping
-                    keys.append(key)
-                    dists.append(float(d))
-                out.append((keys, dists))
+                if hasattr(self.index, "search_dispatch"):
+                    fetch = self.index.search_dispatch(queries, k_max)
+                else:  # sharded backends: full search under the lock
+                    res = self.index.search(queries, k_max)
+                    fetch = lambda: res  # noqa: E731
+                keymap = self.keymap
+        dist, slots = fetch()
+        out = []
+        for j, (_, k) in enumerate(items):
+            keys, dists = [], []
+            for s, d in zip(slots[j][:k], dist[j][:k]):
+                if s < 0:
+                    continue
+                key = keymap.key_of(int(s))
+                if key is None:
+                    continue  # slot tombstoned between search and mapping
+                keys.append(key)
+                dists.append(float(d))
+            out.append((keys, dists))
         return out
 
     def _apply_upserts(self, batch: list[tuple[PrimaryKey, np.ndarray]]) -> None:

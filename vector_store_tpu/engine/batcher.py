@@ -11,10 +11,14 @@ worker thread, then fans results back out to each caller's future.
 
 Structure: submissions append to a pending list and wake a single
 drainer task.  The drainer waits out the batching window (cut short by
-the kick event when a full batch accumulates), flushes up to max_batch
-items through the device, and loops until the list is empty — so a
-burst larger than max_batch drains in consecutive device steps with no
-self-cancellation races.
+the kick event when a full batch accumulates), then launches the flush
+as a detached task and loops — up to `depth` flushes run concurrently
+(bounded by a semaphore), so batch n+1 dispatches to the device while
+batch n's host readback is still crossing the link.  The flush_fn is
+expected to be dispatch-then-fetch shaped (index.search_dispatch): the
+device serializes the compute steps, the link pipelines the readbacks.
+One in-flight batch (depth=1) reproduces the old strictly-serial
+behavior.
 """
 
 from __future__ import annotations
@@ -35,12 +39,16 @@ class MicroBatcher:
         flush_fn: Callable[[list], Sequence[Any]],
         max_batch: int = 256,
         window_s: float = 0.002,
+        depth: int = 4,
     ) -> None:
         self._flush_fn = flush_fn
         self._max_batch = max_batch
         self._window_s = window_s
+        self._depth = max(1, depth)
+        self._sem = asyncio.Semaphore(self._depth)
         self._pending: list[tuple[Any, asyncio.Future]] = []
         self._drainer: asyncio.Task | None = None
+        self._flushes: set[asyncio.Task] = set()
         self._kick = asyncio.Event()
         self._closed = False
 
@@ -57,6 +65,28 @@ class MicroBatcher:
             )
         return await fut
 
+    async def _flush(self, batch: list[tuple[Any, asyncio.Future]]) -> None:
+        items = [it for it, _ in batch]
+        loop = asyncio.get_running_loop()
+        try:
+            results = await loop.run_in_executor(None, self._flush_fn, items)
+            if len(results) != len(batch):
+                # zip() would silently strand the unmatched futures
+                # forever; fail the whole batch loudly instead
+                raise RuntimeError(
+                    f"flush_fn returned {len(results)} results "
+                    f"for {len(batch)} items"
+                )
+            for (_, fut), res in zip(batch, results):
+                if not fut.done():
+                    fut.set_result(res)
+        except Exception as exc:  # noqa: BLE001 — propagate to callers
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(exc)
+        finally:
+            self._sem.release()
+
     async def _drain(self) -> None:
         while self._pending:
             # batching window: wait for more arrivals unless already full
@@ -66,30 +96,18 @@ class MicroBatcher:
                 except asyncio.TimeoutError:
                     pass
             self._kick.clear()
+            # pipeline-depth bound: block here (not in submit) so callers
+            # keep accumulating into bigger batches while the device is
+            # saturated
+            await self._sem.acquire()
             batch = self._pending[: self._max_batch]
             self._pending = self._pending[self._max_batch :]
             if not batch:
+                self._sem.release()
                 return
-            items = [it for it, _ in batch]
-            loop = asyncio.get_running_loop()
-            try:
-                results = await loop.run_in_executor(
-                    None, self._flush_fn, items
-                )
-                if len(results) != len(batch):
-                    # zip() would silently strand the unmatched futures
-                    # forever; fail the whole batch loudly instead
-                    raise RuntimeError(
-                        f"flush_fn returned {len(results)} results "
-                        f"for {len(batch)} items"
-                    )
-                for (_, fut), res in zip(batch, results):
-                    if not fut.done():
-                        fut.set_result(res)
-            except Exception as exc:  # noqa: BLE001 — propagate to callers
-                for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(exc)
+            task = asyncio.get_running_loop().create_task(self._flush(batch))
+            self._flushes.add(task)
+            task.add_done_callback(self._flushes.discard)
 
     async def close(self) -> None:
         self._closed = True
@@ -100,3 +118,5 @@ class MicroBatcher:
                 await self._drainer
             except asyncio.CancelledError:
                 pass
+        if self._flushes:
+            await asyncio.gather(*self._flushes, return_exceptions=True)
