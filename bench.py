@@ -894,6 +894,51 @@ def bench_serving_latency() -> None:
                         f"# serve[{kind}] http p50/p99 @conc={conc}: "
                         f"{p50:.1f}/{p99:.1f} ms"
                     , recap=True)
+
+                # -- sustained throughput (VERDICT r4 item 3): free-
+                # running closed-loop workers, pre-encoded bodies (a
+                # load generator would pre-encode too).  The wave-
+                # synchronized latency loop above under-forms batches;
+                # free-running workers let the MicroBatcher's pipeline
+                # depth keep several device batches in flight.
+                import json as _json
+
+                bodies = [
+                    _json.dumps({"embedding": q, "limit": K}).encode()
+                    for q in qs[:256]
+                ]
+                hdr = {"Content-Type": "application/json"}
+                for conc in (64, 256):
+                    if remaining() < 60:
+                        log("# serve qps phase truncated (budget)", recap=True)
+                        break
+                    stop_at = time.time() + 8.0
+                    done = 0
+
+                    async def worker(w: int) -> None:
+                        nonlocal done
+                        j = w * 131
+                        while time.time() < stop_at:
+                            r = await c.post(
+                                f"/api/v1/indexes/bench/{kind}/ann",
+                                data=bodies[j % 256],
+                                headers=hdr,
+                            )
+                            assert r.status == 200, await r.text()
+                            await r.read()
+                            done += 1
+                            j += 1
+
+                    # warm this concurrency's bucket shapes
+                    await asyncio.gather(*(one(i) for i in range(conc)))
+                    t0 = time.time()
+                    await asyncio.gather(*(worker(w) for w in range(conc)))
+                    qps = done / (time.time() - t0)
+                    log(
+                        f"# serve[{kind}] http qps @conc={conc}: {qps:.0f}"
+                        " (free-running, in-process client)",
+                        recap=True,
+                    )
         finally:
             await c.close()
             await engine.close()

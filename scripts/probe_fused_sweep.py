@@ -42,6 +42,8 @@ for a in it:
         NO_ORACLE = True
     elif a == "--geo":
         GEO = tuple(int(v) for v in next(it).split(","))
+        if len(GEO) != 2:
+            raise SystemExit("usage: --geo K,B (e.g. --geo 2816,640)")
     else:
         args.append(a)
 N = int(args[0]) if args else 1_000_000

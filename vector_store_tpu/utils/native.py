@@ -107,6 +107,21 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.json_parse_floats.restype = ctypes.c_long
+    lib.json_parse_floats.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+    ]
+    lib.json_parse_int.restype = ctypes.c_long
+    lib.json_parse_int.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_char_p,
+        ctypes.c_long,
+    ]
     _lib = lib
     return lib
 
@@ -263,3 +278,42 @@ class NativeKeyMap:
         if getattr(self, "_m", None):
             self._lib.keymap_free(self._m)
             self._m = None
+
+
+# ---------------------------------------------------------------------------
+# Serving-path JSON fast scanners (native/fastjson.cpp).  Python's json
+# module costs ~400us to parse one 768-d embedding body — the measured
+# r5 single-process serving wall (~600 QPS at 768-d before the device
+# does anything).  These parse the PostIndexAnnRequest hot fields in
+# ~20us, with a guaranteed fall-back (return None) to json.loads on any
+# structural surprise.
+
+
+def parse_json_floats(body: bytes, key: bytes, cap: int) -> Optional[np.ndarray]:
+    """`"<key>": [floats]` out of a raw JSON body, or None (caller must
+    fall back to a full JSON parse — absent key, >cap values, or any
+    structural surprise)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(cap, dtype=np.float32)
+    n = lib.json_parse_floats(
+        body,
+        len(body),
+        b'"' + key + b'"',
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap,
+    )
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def parse_json_int(body: bytes, key: bytes, default: int) -> Optional[int]:
+    """`"<key>": <int>` out of a raw JSON body; `default` when the key is
+    absent; None on a malformed value (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = lib.json_parse_int(body, len(body), b'"' + key + b'"', default)
+    return None if v < 0 else int(v)

@@ -7,13 +7,29 @@ absent.  Both helpers write to a sibling temp path and `os.replace`
 into place, so the target is always either the old snapshot or the new
 one.  (The reference has no persistence at all — SURVEY §5 — so this is
 a property of our extension, not a parity behaviour.)
+
+Durability scope: atomic against process kill and ENOSPC.  The temp
+file is fsync'd and the directory fsync'd after the rename, so the
+snapshot also survives power loss once `save()` returns (without the
+directory fsync the rename itself can be lost; without the file fsync
+some filesystems journal the rename ahead of the data and expose an
+empty target after a crash).
 """
 
 from __future__ import annotations
 
+import itertools
 import os
+import threading
 
 import numpy as np
+
+# Distinguishes same-path saves racing from two THREADS of one process
+# (pid alone would collide — e.g. two indexes snapshotting to one
+# user-supplied path; the per-index locks don't cover cross-object
+# races on the filesystem).
+_seq = itertools.count()
+_seq_lock = threading.Lock()
 
 
 def _effective_target(path: str) -> str:
@@ -24,10 +40,22 @@ def _effective_target(path: str) -> str:
 
 def _atomic(savefn, path: str, **arrays) -> None:
     target = _effective_target(str(path))
-    tmp = target[: -len(".npz")] + f".tmp{os.getpid()}.npz"
+    with _seq_lock:
+        n = next(_seq)
+    tmp = target[: -len(".npz")] + f".tmp{os.getpid()}.{n}.npz"
     try:
         savefn(tmp, **arrays)
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.replace(tmp, target)
+        dfd = os.open(os.path.dirname(target) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except BaseException:
         try:
             os.unlink(tmp)
