@@ -1067,6 +1067,186 @@ def bench_graph(x, queries, exact, timer) -> None:
     gc.collect()
 
 
+def bench_large_n(x, queries, timer) -> None:
+    """One >1M driver-recorded point (VERDICT r4 missing #2): 8M × 768
+    int8 IVF on one chip — ~6.1GB of live rows in a ~9.2GB reserved
+    bank, the N where the IVF tier's flat-QPS-in-N argument actually
+    bites (BASELINE configs 4-5 are 10M-1B).
+
+    Build: the reserve_rows bulk-load path — ONE recluster at 1M live
+    rows, k/bucket sized for the final 8M, permuted on-device while the
+    staging bank is still ~1.2GB (a recluster at the final size cannot
+    hold two banks in HBM).
+
+    Corpus: 8 per-column sign-flip variants of the 1M corpus (variant 0
+    IS the corpus).  Fresh gaussian generation at 8M costs ~560s of
+    host numpy — the flips cost ~3s each, preserve per-variant cluster
+    structure and norms, and cross-variant dots are sign-scrambled.
+    Recall is measured against an EXACT full-bank scan oracle over the
+    quantized bank itself, so corpus construction cannot flatter it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core import distance as dist_mod
+    from vector_store_tpu.core.ivf import IvfIndex, search_clustered
+    from vector_store_tpu.types import IndexParams
+
+    n, d = x.shape
+    n8 = int(os.environ.get("VST_BENCH_LARGE_N", str(8 * n)))
+    reps_n = max(n8 // n, 2)
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8", capacity=n8),
+        cluster_min=n,  # one recluster, at 1M live rows
+        reserve_rows=reps_n * n,  # k/bucket sized for the final count
+        probes=4,
+    )
+    rng = np.random.default_rng(77)
+    t0 = time.time()
+    flip = None
+    for r in range(reps_n):
+        if r == 0:
+            idx.add(x)
+        else:
+            if flip is None:
+                flip = np.empty_like(x)
+            s = rng.choice(np.float32([-1.0, 1.0]), size=(1, d))
+            np.multiply(x, s, out=flip)
+            idx.add(flip)
+        done = (r + 1) * n
+        log(
+            f"#   large-N ingest {done}/{reps_n * n}: "
+            f"{done / (time.time() - t0):.0f} vec/s"
+        )
+        if r + 1 < reps_n and remaining() < 300:
+            log("# large-N ingest cut at budget (rungs still run)")
+            break
+    del flip
+    n_live = idx.count()
+    st = idx.state
+    log(
+        f"# ivf @ N={n_live}: ingest {n_live / (time.time() - t0):.0f} vec/s "
+        f"(clusters={st.n_clusters}, bucket={st.bucket}, "
+        f"bank={st.vectors.size / (1 << 30):.1f}GB int8)",
+        recap=True,
+    )
+
+    # ---- exact oracle: chunked full scan over the quantized bank ------
+    KSTEP = 1024  # [KSTEP*B, D] bf16 transient ≈ 0.4GB
+
+    @jax.jit
+    def _oracle_slice(vecs, scls, valid, rowid, qp):
+        rows = vecs.astype(jnp.bfloat16) * scls[..., None].astype(jnp.bfloat16)
+        sim = jax.lax.dot_general(
+            qp.astype(jnp.bfloat16),
+            rows.reshape(-1, rows.shape[-1]),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qn, kk*B]
+        sim = jnp.where(valid.reshape(-1)[None, :], sim, -jnp.inf)
+        val, pos = jax.lax.top_k(sim, K)
+        return val, jnp.take(rowid.reshape(-1), pos)
+
+    qn = len(queries)
+    qp_all = dist_mod.preprocess(jnp.asarray(queries), "cosine")
+    K_total = st.n_clusters
+    parts = []
+    for k0 in range(0, K_total, KSTEP):
+        k1 = min(k0 + KSTEP, K_total)
+        parts.append(
+            _oracle_slice(
+                st.vectors[k0:k1],
+                st.scales[k0:k1],
+                st.valid[k0:k1],
+                st.rowid[k0:k1],
+                qp_all,
+            )
+        )
+    vals, rids = jax.device_get(
+        (
+            jnp.concatenate([p[0] for p in parts], axis=1),
+            jnp.concatenate([p[1] for p in parts], axis=1),
+        )
+    )
+    best = np.argsort(-vals, axis=1)[:, :K]
+    exact8 = np.take_along_axis(rids, best, axis=1)
+    del parts, vals, rids
+    log(f"# large-N oracle: exact int8 full-bank scan over {qn} queries")
+
+    # ---- probe rungs (fused + XLA), first clearing rung wins ----------
+    from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+
+    qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
+    fused_ok = idx._fused_ok()
+    best8 = None
+    probes = 0
+    for probes in (2, 4, 8, 16):
+        if best8 is not None and best8[2] >= TARGET_RECALL:
+            break
+        if remaining() < 90:
+            log("# large-N rungs truncated (budget)")
+            break
+        d_, i_ = idx.search(queries, K, probes=probes)
+        rec = recall_of(i_, exact8)
+        qps = timer.qps(
+            lambda r: search_clustered(st, qdev[r % 12], "cosine", K, probes),
+            qn,
+            reps=6,
+            blocks=2,
+        )
+        line = f"#   ivf @ N={n_live} probes={probes}: recall@10={rec:.3f} qps={qps:.0f}"
+        name = f"ivf8M-p{probes}"
+        if fused_ok:
+            half = qn // 2
+
+            def fused_run(r):
+                a = search_clustered_fused(
+                    st, qdev[r % 12][:half], "cosine", K, probes
+                )
+                b = search_clustered_fused(
+                    st, qdev[r % 12][half:], "cosine", K, probes
+                )
+                return a[0], b[0]
+
+            try:
+                fused_qps = timer.qps(fused_run, qn, reps=6, blocks=2)
+                line += f" fused_qps={fused_qps:.0f}"
+                if fused_qps > qps:
+                    qps, name = fused_qps, f"ivf8M-fused-p{probes}"
+            except Exception as exc:  # noqa: BLE001
+                log(f"# large-N fused rung failed: {exc!r}")
+                fused_ok = False
+        log(line, recap=True)
+        if best8 is None or (rec >= TARGET_RECALL > best8[2]) or (
+            rec >= TARGET_RECALL and qps > best8[1]
+        ):
+            best8 = (name, qps, rec)
+    if best8 is not None:
+        log(
+            f"# large-N best: {best8[0]} recall@10={best8[2]:.3f} "
+            f"qps={best8[1]:.0f}",
+            recap=True,
+        )
+
+    # ---- two-stage A/B at the geometry its byte model favors ----------
+    # (VERDICT r4 weak #4: find a recorded geometry where int4→int8
+    # two-stage WINS, or demote it.)  At 8M the scan streams ~8x the
+    # bytes of the 1M headline, so halving streamed bytes should matter.
+    if probes and remaining() >= 120:
+        cand2 = bench_ivf_two_stage(
+            idx, queries, exact8, timer, qdev, probes, fused_ok
+        )
+        if cand2 is not None and best8 is not None:
+            verdict = "WINS" if cand2[1] > best8[1] else "loses"
+            log(
+                f"# large-N two-stage vs int8 @ p={probes}: "
+                f"{cand2[1]:.0f} vs {best8[1]:.0f} qps ({verdict})",
+                recap=True,
+            )
+    del idx, st, qdev
+    gc.collect()
+
+
 def bench_scan_int8(x, queries, exact, timer) -> None:
     """Exact scan over int8 storage (quantized memory parity point)."""
     import jax.numpy as jnp
@@ -1320,7 +1500,11 @@ def bench_ingest_pipeline() -> None:
             IndexParams(dimensions=d, space="cosine", dtype="int8"),
         )
 
-        factory = AnnIndexFactory(backend="ivf")
+        # reserve_rows: the initial-scan bulk load declares its size up
+        # front (a Scylla deployment knows the table's row count before
+        # scanning) — ONE recluster sized for the final count instead of
+        # one per doubling, and one compiled (K, B) shape
+        factory = AnnIndexFactory(backend="ivf", reserve_rows=n_ing)
         handle = factory.create_index(meta.index_id, meta)
         t0 = time.time()
         stream = await db.get_db_index(meta)
@@ -1332,7 +1516,11 @@ def bench_ingest_pipeline() -> None:
         cnt = 0
         while cnt < n_ing and time.time() < deadline:
             try:
-                cnt = await asyncio.wait_for(handle.count(), timeout=60)
+                # 150s: a COLD compile burst on a tunneled backend can
+                # hold the actor's executor thread 1-2 minutes (20-40s
+                # per kernel shape); only a genuinely wedged dispatch
+                # exceeds this
+                cnt = await asyncio.wait_for(handle.count(), timeout=150)
             except asyncio.TimeoutError:
                 log("# config-3 count() timed out (wedged dispatch)")
                 break
@@ -1421,6 +1609,18 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", os.environ["VST_BENCH_PLATFORM"])
+    # Persistent XLA compilation cache: standard production practice on
+    # TPU, and on this env's tunneled backend a single kernel compile
+    # costs 20-40s wall — the cache turns repeat compiles (across bench
+    # runs AND across phases re-hitting a shape after a process restart)
+    # into ~100ms disk loads.  Measured: 1.2s -> 0.1s across processes.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("VST_JIT_CACHE", "/tmp/vst_jit_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     log(f"# bench: N={N} D={D} Q={Q} budget={BUDGET_S:.0f}s")
     signal.signal(signal.SIGTERM, _on_term)
     threading.Thread(target=_watchdog, daemon=True, name="headline-watchdog").start()

@@ -28,6 +28,15 @@ async def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compilation cache (standard TPU serving practice):
+    # restarts re-load compiled kernels from disk instead of paying
+    # 20-40s per shape; opt out with VST_JIT_CACHE=""
+    cache_dir = os.environ.get("VST_JIT_CACHE", "/tmp/vst_jit_cache")
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     cfg = Config()
     parser = argparse.ArgumentParser("vector_store_tpu")
     parser.add_argument("--addr", default=cfg.http_addr, help="host:port to bind")

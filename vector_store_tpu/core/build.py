@@ -167,8 +167,23 @@ def _apply_reverse_edges(
 
 def insert_cfg(cfg: GraphConfig) -> GraphConfig:
     """Search configuration used for insert-time candidate generation:
-    pool widened to ef_add (the reference's expansion_add role)."""
-    return dataclasses.replace(cfg, ef_search=cfg.ef_add)
+    pool widened to ef_add (the reference's expansion_add role).
+
+    The insert beam is WIDE and SHALLOW (beam 16 × 8 rounds) where the
+    serving beam is narrow and deep (4 × 32): both expand ~ef_add nodes,
+    but each round pays a serial gather-issue + pool-merge latency, so
+    fewer/wider rounds cut insert wall-clock at equal expansion budget
+    (see ARCHITECTURE.md for the measured build-rate/recall A/B).
+    Insert candidates only need coverage, not the query path's
+    early-termination discipline.
+    """
+    width = max(cfg.beam_width, 16)
+    return dataclasses.replace(
+        cfg,
+        ef_search=cfg.ef_add,
+        beam_width=width,
+        iters=max(6, cfg.ef_add // width),
+    )
 
 
 def insert_impl(

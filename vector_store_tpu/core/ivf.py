@@ -51,6 +51,11 @@ SPILL = 4
 # Query-batch chunk for the block-gather step (bounds the [q, g·B, D]
 # transient).
 QCHUNK = 256
+# Rows per place() scatter dispatch — the XLA row-scatter's compile
+# cost grows superlinearly in update count on TPU (measured: minutes at
+# 8192, seconds at 1024).  Ingest chunks larger than this are shipped
+# as several fixed-shape scatters of one compiled variant.
+SCATTER_BLOCK = 1024
 PROBE_DEFAULT = 16
 # Largest k served by the fully-fused pallas kernel (its on-chip top-k
 # is k unrolled extract-min sweeps — linear in k); larger k takes the
@@ -63,7 +68,11 @@ FUSED_MAX_K = 32
 PROBE_GROUP = 4
 # Recluster stages its permutation through host RAM once two banks would
 # exceed this HBM budget (old + new cannot coexist on a 16GB chip).
-HOST_PERMUTE_BYTES = 10 << 30
+# 12GB: the permute itself adds only index arrays (~100MB) on top of the
+# two banks, and the reserve_rows bulk-load path reclusters a ~1.2GB
+# staging bank into a ~9.2GB final bank (10.4GB total) — that must stay
+# on-device (host staging costs minutes per GB over a tunneled link).
+HOST_PERMUTE_BYTES = 12 << 30
 
 
 class IvfState(NamedTuple):
@@ -715,6 +724,7 @@ class IvfIndex:
         rows_per_bucket: int | None = None,
         coarse: bool | None = None,
         rescore: int = 8,
+        reserve_rows: int = 0,
     ) -> None:
         self.params = params
         self.space = params.space
@@ -741,6 +751,17 @@ class IvfIndex:
         self._coarse_dirty: set[int] = set()
         self.cluster_min = cluster_min
         self.rows_per_bucket = rows_per_bucket or ROWS_PER_BUCKET
+        # Bulk-load mode: the expected final row count.  The first
+        # clustering (at cluster_min live rows) sizes k AND the bucket
+        # for `reserve_rows`, and the doubling-recluster policy is
+        # suspended until the live count exceeds it — one recluster per
+        # bulk load instead of O(log n), and the big bank is built by
+        # ONE on-device permute while the staging bank is still small
+        # (a recluster at the final size would need two full banks in
+        # HBM, which the 8M x 768 tier cannot hold).  Assumes the
+        # stream's distribution is stationary across the load, like the
+        # reference's initial full-table scan (db_index.rs:217-237).
+        self._reserve = int(reserve_rows or 0)
         rows0 = max(initial_capacity or 0, cluster_min)
         k = k_for(rows0, self.rows_per_bucket)
         b = bucket_for(rows0, k)
@@ -857,15 +878,41 @@ class IvfIndex:
         return jnp.asarray(blk)
 
     def _scatter(self, blk, ks, poss, rid) -> None:
-        self._state = place(
-            self._state,
-            blk if isinstance(blk, jnp.ndarray) else self._to_dev(blk),
-            jnp.asarray(ks, dtype=jnp.int32),
-            jnp.asarray(poss, dtype=jnp.int32),
-            jnp.asarray(rid, dtype=jnp.int32),
-            self.space,
-            self.dtype,
-        )
+        dev = blk if isinstance(blk, jnp.ndarray) else self._to_dev(blk)
+        m = dev.shape[0]
+        # The at[ks, poss].set scatter's XLA compile cost grows
+        # superlinearly in the update count on TPU: a fresh process
+        # measured ~12 MINUTES to compile place() at m=8192 vs seconds
+        # at m=1024 (r5 profile — this was the config-3 pipeline's real
+        # wall).  Ship every scatter in SCATTER_BLOCK rows.  Every block
+        # (including the tail and small direct adds, whose sizes are
+        # RAGGED on the ingest-bridge path — a distinct compile each
+        # otherwise) is padded up to a fixed power-of-2 ladder; pad
+        # lanes carry ks=K, which mode="drop" discards.
+        SB = SCATTER_BLOCK
+        K = self._state.n_clusters
+        for off in range(0, m, SB):
+            end = min(off + SB, m)
+            bs, kk = dev[off:end], ks[off:end]
+            pp, rr = poss[off:end], rid[off:end]
+            mm = end - off
+            # ONE compiled shape: every block pads to SB (a compile costs
+            # 20-40s on a tunneled backend; a padded dispatch ~1ms)
+            if mm < SB:
+                pad = SB - mm
+                bs = jnp.pad(bs, ((0, pad), (0, 0)))
+                kk = np.pad(np.asarray(kk), (0, pad), constant_values=K)
+                pp = np.pad(np.asarray(pp), (0, pad))
+                rr = np.pad(np.asarray(rr), (0, pad))
+            self._state = place(
+                self._state,
+                bs,
+                jnp.asarray(kk, dtype=jnp.int32),
+                jnp.asarray(pp, dtype=jnp.int32),
+                jnp.asarray(rr, dtype=jnp.int32),
+                self.space,
+                self.dtype,
+            )
         self._valid_h[ks, poss] = True
         self._rowid_h[ks, poss] = rid
         self._loc[rid, 0] = ks
@@ -898,12 +945,21 @@ class IvfIndex:
 
     def _add_clustered(self, blk: np.ndarray, rid: np.ndarray) -> None:
         blk = self._to_dev(blk)  # ONE transfer, shared by assign + place
-        prep = dist_mod.preprocess(blk.astype(jnp.float32), self.space).astype(
-            self._state.centroids.dtype
-        )
+        # pad the assign to ONE fixed shape: the ingest bridge ships
+        # RAGGED batch sizes, and every distinct row count would
+        # otherwise compile its own [m, K] assign matmul (20-40s each on
+        # a tunneled backend; the padded matmul costs ~1ms).  Pad rows
+        # are zeros — their (nan) scores are row-independent and sliced
+        # off.  8192 = the add() chunk bound.
+        m = blk.shape[0]
+        want = 8192
+        blk_a = jnp.pad(blk, ((0, want - m), (0, 0))) if m < want else blk
+        prep = dist_mod.preprocess(
+            blk_a.astype(jnp.float32), self.space
+        ).astype(self._state.centroids.dtype)
         cids = np.asarray(
             assign_top(self._state.centroids, prep, self.space, SPILL)
-        )
+        )[:m]
         while True:
             used = self._n_used.copy()
             free_try = {k: v[:] for k, v in self._free.items()}
@@ -935,11 +991,23 @@ class IvfIndex:
             if self._clustered:
                 for k, p in zip(ks.tolist(), poss.tolist()):
                     self._free.setdefault(k, []).append(p)
-            self._state = unvalidate(
-                self._state,
-                jnp.asarray(ks, dtype=jnp.int32),
-                jnp.asarray(poss, dtype=jnp.int32),
-            )
+            # chunk + pad to ONE fixed shape (drop lanes at ks=K):
+            # remove sizes are arbitrary, and each distinct size would
+            # compile its own scatter variant (20-40s on a tunneled
+            # backend)
+            K = self._state.n_clusters
+            SB = SCATTER_BLOCK
+            for off in range(0, len(ks), SB):
+                kk, pp = ks[off : off + SB], poss[off : off + SB]
+                if len(kk) < SB:
+                    pad = SB - len(kk)
+                    kk = np.pad(kk, (0, pad), constant_values=K)
+                    pp = np.pad(pp, (0, pad))
+                self._state = unvalidate(
+                    self._state,
+                    jnp.asarray(kk, dtype=jnp.int32),
+                    jnp.asarray(pp, dtype=jnp.int32),
+                )
             self._valid_h[ks, poss] = False
             self._loc[rowids] = -1
             self._n_live -= len(rowids)
@@ -949,7 +1017,13 @@ class IvfIndex:
     def _maybe_recluster(self) -> None:
         if self._n_live < self.cluster_min:
             return
-        if self._clustered and self._n_live < 2 * self._clustered_at:
+        if self._clustered and (
+            self._n_live < 2 * self._clustered_at
+            # bulk-load mode: k/bucket were sized for _reserve at the
+            # first clustering — hold the centroid set until the load
+            # overshoots the reservation
+            or self._n_live <= self._reserve
+        ):
             return
         self._recluster_locked()
 
@@ -1087,7 +1161,9 @@ class IvfIndex:
         n = len(flat_live)
         if n == 0:
             return
-        k_new = k_for(n, self.rows_per_bucket)
+        # bulk-load mode sizes the new bank for the reservation, not the
+        # current live count (see __init__ reserve_rows)
+        k_new = k_for(max(n, self._reserve), self.rows_per_bucket)
         cdt = s.centroids.dtype
         # the per-chunk [A, k_new] distance transient must stay ~256MB
         a_chunk = ASSIGN_CHUNK if k_new <= (1 << 15) else 1024
@@ -1126,7 +1202,7 @@ class IvfIndex:
         ).reshape(-1, SPILL)[:n]
 
         # --- host placement into fresh buckets, then device permute-build
-        b_new = bucket_for(n, k_new)
+        b_new = bucket_for(max(n, self._reserve), k_new)
         while True:
             used = np.zeros((k_new,), dtype=np.int64)
             ks, poss, unplaced = self._plan_placement(all_cids, used, b_new)

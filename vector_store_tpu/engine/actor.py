@@ -85,6 +85,16 @@ class AddOrReplaceBatch:
 
 
 @dataclass
+class RemoveBatch:
+    """ANN protocol extension: one message carrying many removals —
+    the delete twin of AddOrReplaceBatch (the ingest bridge ships
+    coalesced LWW batches; a churny CDC stream would otherwise cost one
+    mailbox turn per tombstone)."""
+
+    keys: list  # [PrimaryKey]
+
+
+@dataclass
 class Ann:
     """ANN protocol: nearest-neighbour query (usearch.rs:160-166)."""
 
@@ -177,6 +187,10 @@ class IndexHandle:
     async def add_or_replace_batch(self, items: list) -> None:
         """Coalesced upserts: [(key, embedding)] applied as one device step."""
         await self._send(AddOrReplaceBatch(list(items)))
+
+    async def remove_batch(self, keys: list) -> None:
+        """Coalesced removals: one device tombstone step."""
+        await self._send(RemoveBatch(list(keys)))
 
     async def ann(
         self, embedding: np.ndarray, limit: Limit

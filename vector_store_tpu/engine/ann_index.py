@@ -34,6 +34,7 @@ from .actor import (
     Count,
     IndexHandle,
     Remove,
+    RemoveBatch,
     Search,
     spawn_index_actor,
 )
@@ -78,6 +79,7 @@ class AnnIndexBackend:
         window_s: float = 0.002,
         n_devices: int = 1,
         backend: str = "graph",
+        reserve_rows: int = 0,
     ) -> None:
         self.index_id = index_id
         self.params = params
@@ -99,7 +101,17 @@ class AnnIndexBackend:
         elif backend == "ivf":
             from ..core.ivf import IvfIndex
 
-            self.index = IvfIndex(params)
+            # reserve_rows: bulk-load hint — size the clustering AND the
+            # staging bank for the expected final row count (one
+            # recluster + one compiled shape set instead of one per
+            # doubling; see core/ivf.py).  Very large reservations
+            # (>2M × 768) should build the index directly with a small
+            # initial_capacity so the staging bank stays small.
+            self.index = IvfIndex(
+                params,
+                reserve_rows=reserve_rows,
+                initial_capacity=reserve_rows or None,
+            )
         else:
             self.index = SlotIndex(params, exact=backend == "exact")
         self.keymap = KeyMap()
@@ -221,6 +233,11 @@ class AnnIndexBackend:
                     prev = _RemoveRun(keys=[])
                     out.append(prev)
                 prev.keys.append(msg.key)
+            elif isinstance(msg, RemoveBatch):
+                if not isinstance(prev, _RemoveRun):
+                    prev = _RemoveRun(keys=[])
+                    out.append(prev)
+                prev.keys.extend(msg.keys)
             else:
                 out.append(msg)
         return out
@@ -271,6 +288,8 @@ class AnnIndexBackend:
             await self._apply_upsert_run(msg)
         elif isinstance(msg, Remove):
             await self._apply_remove_run(_RemoveRun(keys=[msg.key]))
+        elif isinstance(msg, RemoveBatch):
+            await self._apply_remove_run(_RemoveRun(keys=list(msg.keys)))
         elif isinstance(msg, _RemoveRun):
             await self._apply_remove_run(msg)
         elif isinstance(msg, Ann):
@@ -349,6 +368,7 @@ class AnnIndexFactory:
         window_s: float = 0.002,
         n_devices: int = 1,
         backend: str = "graph",
+        reserve_rows: int = 0,
     ) -> None:
         self.default_params = default_params
         self.exact = exact
@@ -356,6 +376,7 @@ class AnnIndexFactory:
         self.window_s = window_s
         self.n_devices = n_devices
         self.backend = backend
+        self.reserve_rows = reserve_rows
 
     def create_index(
         self, index_id: IndexId, metadata: Optional[IndexMetadata] = None
@@ -375,5 +396,6 @@ class AnnIndexFactory:
             window_s=self.window_s,
             n_devices=self.n_devices,
             backend=self.backend,
+            reserve_rows=self.reserve_rows,
         )
         return spawn_index_actor(backend, name=str(index_id))

@@ -23,7 +23,7 @@ from typing import Optional
 
 from ..text.bm25 import BM25Index
 from ..types import IndexId, IndexMetadata
-from .actor import Add, Ann, Count, IndexHandle, Remove, Search, spawn_index_actor
+from .actor import Add, Ann, Count, IndexHandle, Remove, RemoveBatch, Search, spawn_index_actor
 from .batcher import MicroBatcher
 from .keymap import KeyMap
 
@@ -80,6 +80,11 @@ class TextIndexBackend:
             slot = self.keymap.unbind(msg.key)
             if slot is not None:
                 self.index.remove(slot)
+        elif isinstance(msg, RemoveBatch):
+            for key in msg.keys:
+                slot = self.keymap.unbind(key)
+                if slot is not None:
+                    self.index.remove(slot)
         elif isinstance(msg, Search):
             # detach so concurrent searches coalesce into one device batch
             # (awaiting here would serialize the actor loop — see

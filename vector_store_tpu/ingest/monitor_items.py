@@ -27,8 +27,14 @@ from .source import EmbeddingStream
 
 log = logging.getLogger("vst.monitor_items")
 
-# Upper bound on one coalesced apply (≈ the device insert block).
-MAX_APPLY_BATCH = 1024
+# Upper bound on one coalesced apply.  Each device apply pays fixed
+# costs (an assignment readback ~25-30ms on a tunneled link, dispatch
+# overheads); 8192 rows per apply amortizes them 8x better than the old
+# 1024 while staying one ingest chunk for the IVF backend (ivf.py
+# `chunk = 8192`).  The reference forwards ONE event per message
+# (monitor_items.rs:72-79) because its inserts are per-row CPU work —
+# this constant is deliberately not parity.
+MAX_APPLY_BATCH = 8192
 
 
 async def run(stream: EmbeddingStream, index: IndexHandle) -> None:
@@ -68,8 +74,14 @@ async def run(stream: EmbeddingStream, index: IndexHandle) -> None:
         try:
             if upserts:
                 await index.add_or_replace_batch(upserts)
-            for k in removes:
-                await index.remove(k)
+            if removes:
+                # one mailbox message (RemoveBatch) instead of one per
+                # tombstone — a churny CDC stream can carry thousands
+                if hasattr(index, "remove_batch"):
+                    await index.remove_batch(removes)
+                else:  # text-protocol handles: per-key Remove
+                    for k in removes:
+                        await index.remove(k)
         except RuntimeError:
             # index handle closed under us (engine del_index) — stop
             log.debug("monitor_items: index handle closed, terminating")

@@ -38,8 +38,10 @@ class EmbeddingStream:
     # benchmarks", db_index.rs:72-75) — sized for per-row CPU inserts.
     # Here the consumer (monitor_items) coalesces everything queued into
     # ONE batched device step, so a deeper channel directly becomes
-    # device batch size; 1024 ≈ one insert block.
-    CAPACITY = 1024
+    # device batch size; 8192 ≈ one IVF ingest chunk (the r5 profile
+    # measured the fixed per-apply cost — assignment readback plus
+    # dispatch — dominating 1024-row applies).
+    CAPACITY = 8192
 
     def __init__(self, primary_key_columns: Sequence[str]) -> None:
         self.queue: asyncio.Queue = asyncio.Queue(self.CAPACITY)
