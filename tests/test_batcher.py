@@ -72,3 +72,50 @@ async def test_batcher_short_results_fail_loudly():
         await batcher.close()
 
     await asyncio.wait_for(run(), 30)
+
+
+@pytest.mark.asyncio
+async def test_batcher_pipeline_depth_bounds_inflight():
+    """Up to `depth` flushes run concurrently; results still route."""
+    inflight = 0
+    peak = 0
+
+    async def _noop():
+        await asyncio.sleep(0.02)
+
+    def flush(items):
+        nonlocal inflight, peak
+        inflight += 1
+        peak = max(peak, inflight)
+        import time as _t
+
+        _t.sleep(0.02)  # hold the slot so flushes overlap
+        inflight -= 1
+        return [x + 100 for x in items]
+
+    b = MicroBatcher(flush, max_batch=2, window_s=0.0, depth=3)
+    results = await asyncio.gather(*(b.submit(i) for i in range(12)))
+    assert sorted(results) == [i + 100 for i in range(12)]
+    assert peak <= 3
+    assert peak >= 2  # it actually pipelined
+    await b.close()
+
+
+@pytest.mark.asyncio
+async def test_batcher_depth_one_is_serial():
+    inflight = 0
+
+    def flush(items):
+        nonlocal inflight
+        inflight += 1
+        assert inflight == 1
+        import time as _t
+
+        _t.sleep(0.005)
+        inflight -= 1
+        return items
+
+    b = MicroBatcher(flush, max_batch=2, window_s=0.0, depth=1)
+    results = await asyncio.gather(*(b.submit(i) for i in range(8)))
+    assert sorted(results) == list(range(8))
+    await b.close()

@@ -371,3 +371,68 @@ def test_ivf_persist_roundtrip(tmp_path):
     assert idx2.count() == 6_000 and idx2.state.bucket == b0
     _, got = idx2.search(x[:4], 1)
     assert set(got[:, 0]).issubset(set(more.tolist()) | set(ids.tolist()))
+
+
+def test_reserve_rows_single_recluster():
+    """Bulk-load mode: ONE recluster sized for the reservation, and no
+    further reclusters until the live count overshoots it."""
+    from vector_store_tpu.core.ivf import IvfIndex, k_for
+
+    rng = np.random.default_rng(5)
+    n, d = 3000, 32
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine", dtype="int8"),
+        cluster_min=512,
+        reserve_rows=n,
+        initial_capacity=n,
+    )
+    reclusters = []
+    orig = IvfIndex._recluster_locked
+
+    def spy(self):
+        reclusters.append(self._n_live)
+        return orig(self)
+
+    IvfIndex._recluster_locked = spy
+    try:
+        for off in range(0, n, 500):
+            idx.add(rng.normal(size=(500, d)).astype(np.float32))
+    finally:
+        IvfIndex._recluster_locked = orig
+    assert len(reclusters) == 1, reclusters  # one, at cluster_min
+    assert idx._clustered
+    assert idx.state.n_clusters == k_for(n)  # sized for the reservation
+    # queries still work and find self
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    sl = idx.add(q)
+    d_, i_ = idx.search(q, 1, probes=idx.n_clusters)
+    assert (i_[:, 0] == sl).all()
+
+
+def test_remove_batch_message_tombstones():
+    """RemoveBatch through the actor == N Removes (one device step)."""
+    import asyncio
+
+    from vector_store_tpu.engine.ann_index import AnnIndexFactory
+    from vector_store_tpu.types import IndexId, IndexMetadata
+
+    async def run():
+        rng = np.random.default_rng(6)
+        meta = IndexMetadata(
+            index_id=IndexId("ks.rb"),
+            params=IndexParams(dimensions=16, space="cosine"),
+            version="v1",
+            key_columns=("id",),
+        )
+        h = AnnIndexFactory(backend="ivf").create_index(meta.index_id, meta)
+        x = rng.normal(size=(40, 16)).astype(np.float32)
+        await h.add_or_replace_batch([((j,), x[j]) for j in range(40)])
+        assert await h.count() == 40
+        await h.remove_batch([(j,) for j in range(0, 40, 2)])
+        # removals are fire-and-forget: count() rides the same mailbox,
+        # so by the time it answers the tombstones are applied
+        assert await h.count() == 20
+        h.close()
+        await h.join()
+
+    asyncio.run(run())

@@ -69,3 +69,37 @@ def test_native_keymap():
     displaced = m.bind_batch(keys, slots)
     assert displaced.tolist() == [-1, -1, -1]
     assert m.slot_of(8) == 11
+
+
+def test_fastjson_parse_floats_roundtrip():
+    import json
+
+    emb = list(np.linspace(-3, 3, 768).astype(float))
+    body = json.dumps({"embedding": emb, "limit": 10}).encode()
+    out = native.parse_json_floats(body, b"embedding", 8192)
+    assert out is not None and out.shape == (768,)
+    assert np.allclose(out, np.asarray(emb, np.float32))
+    assert native.parse_json_int(body, b"limit", 1) == 10
+
+
+def test_fastjson_falls_back_on_structural_surprises():
+    cases = [
+        b'{"x": 1}',                                     # key absent -> None
+        b'{"embedding": [1], "y": {"embedding": [2]}}',  # not unique
+        b'{"embedding": [1, null]}',                     # non-number
+        b'{"embedding": "nope"}',                        # not an array
+        b'not json at all',
+    ]
+    for body in cases:
+        assert native.parse_json_floats(body, b"embedding", 16) is None, body
+    # key present only as a VALUE -> fall back, never misparse
+    assert native.parse_json_floats(b'{"x": "embedding"}', b"embedding", 4) is None
+    # empty array parses as empty (route treats it as a dims error)
+    out = native.parse_json_floats(b'{"embedding": []}', b"embedding", 4)
+    assert out is not None and len(out) == 0
+    # over-cap -> None (fallback handles long embeddings)
+    assert native.parse_json_floats(b'{"embedding": [1,2,3]}', b"embedding", 2) is None
+    # malformed ints -> None; absent -> default
+    assert native.parse_json_int(b'{"limit": 1.5}', b"limit", 1) is None
+    assert native.parse_json_int(b'{"limit": -2}', b"limit", 1) is None
+    assert native.parse_json_int(b'{"x": 0}', b"limit", 7) == 7
