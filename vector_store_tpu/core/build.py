@@ -166,23 +166,35 @@ def _apply_reverse_edges(
 
 
 def insert_cfg(cfg: GraphConfig) -> GraphConfig:
-    """Search configuration used for insert-time candidate generation:
-    pool widened to ef_add (the reference's expansion_add role).
+    """Search configuration used for insert-time candidate generation.
 
-    The insert beam is WIDE and SHALLOW (beam 16 × 8 rounds) where the
-    serving beam is narrow and deep (4 × 32): both expand ~ef_add nodes,
-    but each round pays a serial gather-issue + pool-merge latency, so
-    fewer/wider rounds cut insert wall-clock at equal expansion budget
-    (see ARCHITECTURE.md for the measured build-rate/recall A/B).
-    Insert candidates only need coverage, not the query path's
-    early-termination discipline.
+    WIDE and SHALLOW (beam 16, pool ef_add/2, 4 rounds) where the
+    serving beam is narrow and deep (4 × 32).  Two findings behind it
+    (r5 on-chip A/B at 65k×768, warm compiles):
+
+    * the insert search is gather-DESCRIPTOR-bound, not byte-bound (a
+      bf16 bank builds at the same rate as f32), so wall-clock tracks
+      gathered-row count ≈ beam·degree·iters — fewer/wider rounds and a
+      smaller pool are nearly free speed;
+    * prune quality does NOT need a deep insert search: `insert_impl`
+      prunes over min(ef_add, P+M) candidates drawn from the graph pool
+      UNION the M×M batch block, so halving the search pool leaves the
+      prune's candidate count unchanged.  Measured: pool 64/4 rounds
+      builds 5,290 v/s vs 2,370 (old 128-pool × 32 narrow rounds) at
+      IDENTICAL post-build recall (0.9836 @ ef=64); beam 8 reaches
+      8,753 v/s at −0.003 recall (not taken — builds are not the
+      serving bottleneck).
+
+    The reference's expansion_add knob still scales the whole thing
+    (usearch.rs: insert beam role): pool = ef_add/2, floor 32.
     """
     width = max(cfg.beam_width, 16)
+    pool = max(32, cfg.ef_add // 2)
     return dataclasses.replace(
         cfg,
-        ef_search=cfg.ef_add,
+        ef_search=pool,
         beam_width=width,
-        iters=max(6, cfg.ef_add // width),
+        iters=max(4, pool // width),
     )
 
 
