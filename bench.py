@@ -1136,9 +1136,12 @@ def bench_large_n(x, queries, timer) -> None:
 
     @jax.jit
     def _oracle_slice(vecs, scls, valid, rowid, qp):
-        rows = vecs.astype(jnp.bfloat16) * scls[..., None].astype(jnp.bfloat16)
+        # f32 math: a bf16 oracle scrambles near-ties (intra-cluster
+        # rank gaps ~1e-3 vs bf16's ~4e-3 resolution) and reads as a
+        # FLAT ~0.84 recall across every probe count (r5 smoke)
+        rows = vecs.astype(jnp.float32) * scls[..., None]
         sim = jax.lax.dot_general(
-            qp.astype(jnp.bfloat16),
+            qp.astype(jnp.float32),
             rows.reshape(-1, rows.shape[-1]),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1150,27 +1153,31 @@ def bench_large_n(x, queries, timer) -> None:
     qn = len(queries)
     qp_all = dist_mod.preprocess(jnp.asarray(queries), "cosine")
     K_total = st.n_clusters
-    parts = []
-    for k0 in range(0, K_total, KSTEP):
-        k1 = min(k0 + KSTEP, K_total)
-        parts.append(
-            _oracle_slice(
-                st.vectors[k0:k1],
-                st.scales[k0:k1],
-                st.valid[k0:k1],
-                st.rowid[k0:k1],
-                qp_all,
+    QCH = 512  # bounds the per-slice [q, KSTEP*B] f32 sim at ~0.5GB
+    exact8 = np.empty((qn, K), dtype=np.int64)
+    for q0 in range(0, qn, QCH):
+        qp = qp_all[q0 : q0 + QCH]
+        parts = []
+        for k0 in range(0, K_total, KSTEP):
+            k1 = min(k0 + KSTEP, K_total)
+            parts.append(
+                _oracle_slice(
+                    st.vectors[k0:k1],
+                    st.scales[k0:k1],
+                    st.valid[k0:k1],
+                    st.rowid[k0:k1],
+                    qp,
+                )
+            )
+        vals, rids = jax.device_get(
+            (
+                jnp.concatenate([p[0] for p in parts], axis=1),
+                jnp.concatenate([p[1] for p in parts], axis=1),
             )
         )
-    vals, rids = jax.device_get(
-        (
-            jnp.concatenate([p[0] for p in parts], axis=1),
-            jnp.concatenate([p[1] for p in parts], axis=1),
-        )
-    )
-    best = np.argsort(-vals, axis=1)[:, :K]
-    exact8 = np.take_along_axis(rids, best, axis=1)
-    del parts, vals, rids
+        best = np.argsort(-vals, axis=1)[:, :K]
+        exact8[q0 : q0 + QCH] = np.take_along_axis(rids, best, axis=1)
+        del parts, vals, rids
     log(f"# large-N oracle: exact int8 full-bank scan over {qn} queries")
 
     # ---- probe rungs (fused + XLA), first clearing rung wins ----------
@@ -1179,11 +1186,11 @@ def bench_large_n(x, queries, timer) -> None:
     qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
     fused_ok = idx._fused_ok()
     best8 = None
-    probes = 0
-    for probes in (2, 4, 8, 16):
-        if best8 is not None and best8[2] >= TARGET_RECALL:
-            break
-        if remaining() < 90:
+    measured_p = []
+    for probes in (2, 4, 8):
+        # no early break: p=8 is also the two-stage A/B geometry below,
+        # and the whole 2/4/8 curve is the flat-QPS-in-N evidence
+        if measured_p and remaining() < 90:
             log("# large-N rungs truncated (budget)")
             break
         d_, i_ = idx.search(queries, K, probes=probes)
@@ -1217,6 +1224,7 @@ def bench_large_n(x, queries, timer) -> None:
                 log(f"# large-N fused rung failed: {exc!r}")
                 fused_ok = False
         log(line, recap=True)
+        measured_p.append(probes)
         if best8 is None or (rec >= TARGET_RECALL > best8[2]) or (
             rec >= TARGET_RECALL and qps > best8[1]
         ):
@@ -1232,7 +1240,8 @@ def bench_large_n(x, queries, timer) -> None:
     # (VERDICT r4 weak #4: find a recorded geometry where int4→int8
     # two-stage WINS, or demote it.)  At 8M the scan streams ~8x the
     # bytes of the 1M headline, so halving streamed bytes should matter.
-    if probes and remaining() >= 120:
+    if measured_p and remaining() >= 120:
+        probes = measured_p[-1]  # largest measured rung (p=8 normally)
         cand2 = bench_ivf_two_stage(
             idx, queries, exact8, timer, qdev, probes, fused_ok
         )

@@ -436,3 +436,37 @@ def test_remove_batch_message_tombstones():
         await h.join()
 
     asyncio.run(run())
+
+
+def test_overflow_places_instead_of_growing(monkeypatch):
+    """When bucket-doubling is HBM-capped, cluster overflow lands in
+    other clusters' free slots (dirty-marked) instead of growing."""
+    from vector_store_tpu.core import ivf as ivf_mod
+    from vector_store_tpu.core.ivf import IvfIndex
+
+    monkeypatch.setattr(ivf_mod, "GROW_BYTES_MAX", 0)  # never grow
+    rng = np.random.default_rng(9)
+    d = 16
+    idx = IvfIndex(
+        IndexParams(dimensions=d, space="cosine"),
+        cluster_min=256,
+        initial_capacity=256,
+        # suppress the doubling recluster (it would legitimately
+        # re-home the overflow and clear the dirty set)
+        reserve_rows=4096,
+    )
+    base = rng.normal(size=(256, d)).astype(np.float32)
+    idx.add(base)
+    assert idx._clustered
+    b0 = idx.state.bucket
+    # hammer ONE point: every new row wants the same cluster
+    hot = np.tile(base[:1], (b0 * 3, 1)) + 0.001 * rng.normal(
+        size=(b0 * 3, d)
+    ).astype(np.float32)
+    idx.add(hot)
+    assert idx.state.bucket == b0  # no growth
+    assert idx.count() == 256 + b0 * 3
+    assert idx._dirty  # overflow targets marked for incremental compact
+    # every row is still findable at full probes
+    d_, i_ = idx.search(hot[:4], 1, probes=idx.n_clusters)
+    assert (i_[:, 0] >= 0).all()

@@ -66,6 +66,15 @@ FUSED_MAX_K = 32
 # that probes=64 at 1M×768 stays ~650MB instead of the 8GB that one
 # monolithic [Q, p, B, D] gather costs (OOM on a 16GB chip).
 PROBE_GROUP = 4
+# Bucket-doubling ceiling: past this bank size, cluster overflow places
+# rows into the least-filled clusters (marked dirty for the incremental
+# compact) instead of doubling the whole bank — a 9.2GB 8M-row bank
+# doubling to 18.4GB would OOM a 16GB chip mid-load (observed at small
+# scale in the r5 smoke: one hot cluster's overflow doubled the bank).
+GROW_BYTES_MAX = int(
+    float(os.environ.get("VST_IVF_GROW_MAX_GB", "4")) * (1 << 30)
+)
+
 # Recluster stages its permutation through host RAM once two banks would
 # exceed this HBM budget (old + new cannot coexist on a 16GB chip).
 # 12GB: the permute itself adds only index arrays (~100MB) on top of the
@@ -943,6 +952,26 @@ class IvfIndex:
         np.add.at(self._n_used, ks, 1)
         self._scatter(blk, ks, poss, rid)
 
+    @staticmethod
+    def _place_overflow(ks, poss, unplaced, used, bucket) -> bool:
+        """Assign overflow rows to the clusters with the most free tail
+        slots (mutates ks/poss/used in place).  False if the whole bank
+        is genuinely full (caller must grow after all)."""
+        over = np.flatnonzero(unplaced)
+        space = np.maximum(bucket - used, 0)
+        order = np.argsort(-space, kind="stable")
+        cum = np.cumsum(space[order])
+        if cum[-1] < len(over):
+            return False
+        j = np.searchsorted(cum, np.arange(1, len(over) + 1), side="left")
+        target = order[j]
+        prev = np.r_[0, cum[:-1]]
+        off = np.arange(len(over)) - prev[j]
+        ks[over] = target
+        poss[over] = used[target] + off
+        np.add.at(used, target, 1)
+        return True
+
     def _add_clustered(self, blk: np.ndarray, rid: np.ndarray) -> None:
         blk = self._to_dev(blk)  # ONE transfer, shared by assign + place
         # pad the assign to ONE fixed shape: the ingest bridge ships
@@ -970,6 +999,19 @@ class IvfIndex:
                 self._n_used = used
                 self._free = free_try
                 break
+            K, B, D = self._state.vectors.shape
+            bank_bytes = K * B * D * self._state.vectors.dtype.itemsize
+            if 2 * bank_bytes > GROW_BYTES_MAX:
+                # growth-capped: place the overflow into the emptiest
+                # clusters instead of doubling a multi-GB bank.  These
+                # rows are reachable only through their actual cluster's
+                # probes; `spilled` marks the targets dirty and the
+                # incremental compact re-homes them later.
+                done = self._place_overflow(ks, poss, unplaced, used, B)
+                if done:
+                    self._n_used = used
+                    self._free = free_try
+                    break
             self._grow_bucket()
         spilled = ks != cids[:, 0]
         if spilled.any():
