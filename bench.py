@@ -1187,6 +1187,7 @@ def bench_large_n(x, queries, timer) -> None:
     fused_ok = idx._fused_ok()
     best8 = None
     measured_p = []
+    rung_qps = {}
     for probes in (2, 4, 8):
         # no early break: p=8 is also the two-stage A/B geometry below,
         # and the whole 2/4/8 curve is the flat-QPS-in-N evidence
@@ -1225,6 +1226,7 @@ def bench_large_n(x, queries, timer) -> None:
                 fused_ok = False
         log(line, recap=True)
         measured_p.append(probes)
+        rung_qps[probes] = qps
         if best8 is None or (rec >= TARGET_RECALL > best8[2]) or (
             rec >= TARGET_RECALL and qps > best8[1]
         ):
@@ -1245,11 +1247,14 @@ def bench_large_n(x, queries, timer) -> None:
         cand2 = bench_ivf_two_stage(
             idx, queries, exact8, timer, qdev, probes, fused_ok
         )
-        if cand2 is not None and best8 is not None:
-            verdict = "WINS" if cand2[1] > best8[1] else "loses"
+        if cand2 is not None:
+            # compare against the SAME-probes int8 rung (bytes-per-row
+            # is the variable under test, not the probe budget)
+            ref = rung_qps.get(probes, best8[1] if best8 else 0.0)
+            verdict = "WINS" if cand2[1] > ref else "loses"
             log(
                 f"# large-N two-stage vs int8 @ p={probes}: "
-                f"{cand2[1]:.0f} vs {best8[1]:.0f} qps ({verdict})",
+                f"{cand2[1]:.0f} vs {ref:.0f} qps ({verdict})",
                 recap=True,
             )
     del idx, st, qdev
