@@ -1067,7 +1067,7 @@ def bench_graph(x, queries, exact, timer) -> None:
     gc.collect()
 
 
-def bench_large_n(x, queries, timer) -> None:
+def bench_large_n(x, queries, timer, ivf_box=None) -> None:
     """One >1M driver-recorded point (VERDICT r4 missing #2): 8M × 768
     int8 IVF on one chip — ~6.1GB of live rows in a ~9.2GB reserved
     bank, the N where the IVF tier's flat-QPS-in-N argument actually
@@ -1092,6 +1092,13 @@ def bench_large_n(x, queries, timer) -> None:
     from vector_store_tpu.core.ivf import IvfIndex, search_clustered
     from vector_store_tpu.types import IndexParams
 
+    if ivf_box:
+        # release the live 1M index: its 1.4GB plus the 8.6GB large-N
+        # bank plus recluster/oracle transients over-committed the 16GB
+        # chip in the r5 rehearsal (and the OOM cascaded into every
+        # later phase via the leaked bank)
+        ivf_box.clear()
+        gc.collect()
     n, d = x.shape
     n8 = int(os.environ.get("VST_BENCH_LARGE_N", str(8 * n)))
     reps_n = max(n8 // n, 2)
@@ -1103,162 +1110,168 @@ def bench_large_n(x, queries, timer) -> None:
     )
     rng = np.random.default_rng(77)
     t0 = time.time()
-    flip = None
-    for r in range(reps_n):
-        if r == 0:
-            idx.add(x)
-        else:
-            if flip is None:
-                flip = np.empty_like(x)
-            s = rng.choice(np.float32([-1.0, 1.0]), size=(1, d))
-            np.multiply(x, s, out=flip)
-            idx.add(flip)
-        done = (r + 1) * n
-        log(
-            f"#   large-N ingest {done}/{reps_n * n}: "
-            f"{done / (time.time() - t0):.0f} vec/s"
-        )
-        if r + 1 < reps_n and remaining() < 300:
-            log("# large-N ingest cut at budget (rungs still run)")
-            break
-    del flip
-    n_live = idx.count()
-    st = idx.state
-    log(
-        f"# ivf @ N={n_live}: ingest {n_live / (time.time() - t0):.0f} vec/s "
-        f"(clusters={st.n_clusters}, bucket={st.bucket}, "
-        f"bank={st.vectors.size / (1 << 30):.1f}GB int8)",
-        recap=True,
-    )
-
-    # ---- exact oracle: chunked full scan over the quantized bank ------
-    KSTEP = 1024  # [KSTEP*B, D] bf16 transient ≈ 0.4GB
-
-    @jax.jit
-    def _oracle_slice(vecs, scls, valid, rowid, qp):
-        # f32 math: a bf16 oracle scrambles near-ties (intra-cluster
-        # rank gaps ~1e-3 vs bf16's ~4e-3 resolution) and reads as a
-        # FLAT ~0.84 recall across every probe count (r5 smoke)
-        rows = vecs.astype(jnp.float32) * scls[..., None]
-        sim = jax.lax.dot_general(
-            qp.astype(jnp.float32),
-            rows.reshape(-1, rows.shape[-1]),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [qn, kk*B]
-        sim = jnp.where(valid.reshape(-1)[None, :], sim, -jnp.inf)
-        val, pos = jax.lax.top_k(sim, K)
-        return val, jnp.take(rowid.reshape(-1), pos)
-
-    qn = len(queries)
-    qp_all = dist_mod.preprocess(jnp.asarray(queries), "cosine")
-    K_total = st.n_clusters
-    QCH = 512  # bounds the per-slice [q, KSTEP*B] f32 sim at ~0.5GB
-    exact8 = np.empty((qn, K), dtype=np.int64)
-    for q0 in range(0, qn, QCH):
-        qp = qp_all[q0 : q0 + QCH]
-        parts = []
-        for k0 in range(0, K_total, KSTEP):
-            k1 = min(k0 + KSTEP, K_total)
-            parts.append(
-                _oracle_slice(
-                    st.vectors[k0:k1],
-                    st.scales[k0:k1],
-                    st.valid[k0:k1],
-                    st.rowid[k0:k1],
-                    qp,
-                )
+    try:
+        flip = None
+        for r in range(reps_n):
+            if r == 0:
+                idx.add(x)
+            else:
+                if flip is None:
+                    flip = np.empty_like(x)
+                s = rng.choice(np.float32([-1.0, 1.0]), size=(1, d))
+                np.multiply(x, s, out=flip)
+                idx.add(flip)
+            done = (r + 1) * n
+            log(
+                f"#   large-N ingest {done}/{reps_n * n}: "
+                f"{done / (time.time() - t0):.0f} vec/s"
             )
-        vals, rids = jax.device_get(
-            (
-                jnp.concatenate([p[0] for p in parts], axis=1),
-                jnp.concatenate([p[1] for p in parts], axis=1),
-            )
-        )
-        best = np.argsort(-vals, axis=1)[:, :K]
-        exact8[q0 : q0 + QCH] = np.take_along_axis(rids, best, axis=1)
-        del parts, vals, rids
-    log(f"# large-N oracle: exact int8 full-bank scan over {qn} queries")
-
-    # ---- probe rungs (fused + XLA), first clearing rung wins ----------
-    from vector_store_tpu.core.ivf_pallas import search_clustered_fused
-
-    qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
-    fused_ok = idx._fused_ok()
-    best8 = None
-    measured_p = []
-    rung_qps = {}
-    for probes in (2, 4, 8):
-        # no early break: p=8 is also the two-stage A/B geometry below,
-        # and the whole 2/4/8 curve is the flat-QPS-in-N evidence
-        if measured_p and remaining() < 90:
-            log("# large-N rungs truncated (budget)")
-            break
-        d_, i_ = idx.search(queries, K, probes=probes)
-        rec = recall_of(i_, exact8)
-        qps = timer.qps(
-            lambda r: search_clustered(st, qdev[r % 12], "cosine", K, probes),
-            qn,
-            reps=6,
-            blocks=2,
-        )
-        line = f"#   ivf @ N={n_live} probes={probes}: recall@10={rec:.3f} qps={qps:.0f}"
-        name = f"ivf8M-p{probes}"
-        if fused_ok:
-            half = qn // 2
-
-            def fused_run(r):
-                a = search_clustered_fused(
-                    st, qdev[r % 12][:half], "cosine", K, probes
-                )
-                b = search_clustered_fused(
-                    st, qdev[r % 12][half:], "cosine", K, probes
-                )
-                return a[0], b[0]
-
-            try:
-                fused_qps = timer.qps(fused_run, qn, reps=6, blocks=2)
-                line += f" fused_qps={fused_qps:.0f}"
-                if fused_qps > qps:
-                    qps, name = fused_qps, f"ivf8M-fused-p{probes}"
-            except Exception as exc:  # noqa: BLE001
-                log(f"# large-N fused rung failed: {exc!r}")
-                fused_ok = False
-        log(line, recap=True)
-        measured_p.append(probes)
-        rung_qps[probes] = qps
-        if best8 is None or (rec >= TARGET_RECALL > best8[2]) or (
-            rec >= TARGET_RECALL and qps > best8[1]
-        ):
-            best8 = (name, qps, rec)
-    if best8 is not None:
+            if r + 1 < reps_n and remaining() < 300:
+                log("# large-N ingest cut at budget (rungs still run)")
+                break
+        del flip
+        n_live = idx.count()
+        st = idx.state
         log(
-            f"# large-N best: {best8[0]} recall@10={best8[2]:.3f} "
-            f"qps={best8[1]:.0f}",
+            f"# ivf @ N={n_live}: ingest {n_live / (time.time() - t0):.0f} vec/s "
+            f"(clusters={st.n_clusters}, bucket={st.bucket}, "
+            f"bank={st.vectors.size / (1 << 30):.1f}GB int8)",
             recap=True,
         )
 
-    # ---- two-stage A/B at the geometry its byte model favors ----------
-    # (VERDICT r4 weak #4: find a recorded geometry where int4→int8
-    # two-stage WINS, or demote it.)  At 8M the scan streams ~8x the
-    # bytes of the 1M headline, so halving streamed bytes should matter.
-    if measured_p and remaining() >= 120:
-        probes = measured_p[-1]  # largest measured rung (p=8 normally)
-        cand2 = bench_ivf_two_stage(
-            idx, queries, exact8, timer, qdev, probes, fused_ok
-        )
-        if cand2 is not None:
-            # compare against the SAME-probes int8 rung (bytes-per-row
-            # is the variable under test, not the probe budget)
-            ref = rung_qps.get(probes, best8[1] if best8 else 0.0)
-            verdict = "WINS" if cand2[1] > ref else "loses"
+        # ---- exact oracle: chunked full scan over the quantized bank ------
+        KSTEP = 512  # [KSTEP*B, D] f32 cast transient ≈ 0.4GB at B=256
+
+        @jax.jit
+        def _oracle_slice(vecs, scls, valid, rowid, qp):
+            # f32 math: a bf16 oracle scrambles near-ties (intra-cluster
+            # rank gaps ~1e-3 vs bf16's ~4e-3 resolution) and reads as a
+            # FLAT ~0.84 recall across every probe count (r5 smoke)
+            rows = vecs.astype(jnp.float32) * scls[..., None]
+            sim = jax.lax.dot_general(
+                qp.astype(jnp.float32),
+                rows.reshape(-1, rows.shape[-1]),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [qn, kk*B]
+            sim = jnp.where(valid.reshape(-1)[None, :], sim, -jnp.inf)
+            val, pos = jax.lax.top_k(sim, K)
+            return val, jnp.take(rowid.reshape(-1), pos)
+
+        qn = len(queries)
+        qp_all = dist_mod.preprocess(jnp.asarray(queries), "cosine")
+        K_total = st.n_clusters
+        QCH = 512  # bounds the per-slice [q, KSTEP*B] f32 sim at ~0.5GB
+        exact8 = np.empty((qn, K), dtype=np.int64)
+        for q0 in range(0, qn, QCH):
+            qp = qp_all[q0 : q0 + QCH]
+            parts = []
+            for k0 in range(0, K_total, KSTEP):
+                k1 = min(k0 + KSTEP, K_total)
+                parts.append(
+                    _oracle_slice(
+                        st.vectors[k0:k1],
+                        st.scales[k0:k1],
+                        st.valid[k0:k1],
+                        st.rowid[k0:k1],
+                        qp,
+                    )
+                )
+            vals, rids = jax.device_get(
+                (
+                    jnp.concatenate([p[0] for p in parts], axis=1),
+                    jnp.concatenate([p[1] for p in parts], axis=1),
+                )
+            )
+            best = np.argsort(-vals, axis=1)[:, :K]
+            exact8[q0 : q0 + QCH] = np.take_along_axis(rids, best, axis=1)
+            del parts, vals, rids
+        log(f"# large-N oracle: exact int8 full-bank scan over {qn} queries")
+
+        # ---- probe rungs (fused + XLA), first clearing rung wins ----------
+        from vector_store_tpu.core.ivf_pallas import search_clustered_fused
+
+        qdev = [jnp.asarray(np.roll(queries, r, axis=0)) for r in range(12)]
+        fused_ok = idx._fused_ok()
+        best8 = None
+        measured_p = []
+        rung_qps = {}
+        for probes in (2, 4, 8):
+            # no early break: p=8 is also the two-stage A/B geometry below,
+            # and the whole 2/4/8 curve is the flat-QPS-in-N evidence
+            if measured_p and remaining() < 90:
+                log("# large-N rungs truncated (budget)")
+                break
+            d_, i_ = idx.search(queries, K, probes=probes)
+            rec = recall_of(i_, exact8)
+            qps = timer.qps(
+                lambda r: search_clustered(st, qdev[r % 12], "cosine", K, probes),
+                qn,
+                reps=6,
+                blocks=2,
+            )
+            line = f"#   ivf @ N={n_live} probes={probes}: recall@10={rec:.3f} qps={qps:.0f}"
+            name = f"ivf8M-p{probes}"
+            if fused_ok:
+                half = qn // 2
+
+                def fused_run(r):
+                    a = search_clustered_fused(
+                        st, qdev[r % 12][:half], "cosine", K, probes
+                    )
+                    b = search_clustered_fused(
+                        st, qdev[r % 12][half:], "cosine", K, probes
+                    )
+                    return a[0], b[0]
+
+                try:
+                    fused_qps = timer.qps(fused_run, qn, reps=6, blocks=2)
+                    line += f" fused_qps={fused_qps:.0f}"
+                    if fused_qps > qps:
+                        qps, name = fused_qps, f"ivf8M-fused-p{probes}"
+                except Exception as exc:  # noqa: BLE001
+                    log(f"# large-N fused rung failed: {exc!r}")
+                    fused_ok = False
+            log(line, recap=True)
+            measured_p.append(probes)
+            rung_qps[probes] = qps
+            if best8 is None or (rec >= TARGET_RECALL > best8[2]) or (
+                rec >= TARGET_RECALL and qps > best8[1]
+            ):
+                best8 = (name, qps, rec)
+        if best8 is not None:
             log(
-                f"# large-N two-stage vs int8 @ p={probes}: "
-                f"{cand2[1]:.0f} vs {ref:.0f} qps ({verdict})",
+                f"# large-N best: {best8[0]} recall@10={best8[2]:.3f} "
+                f"qps={best8[1]:.0f}",
                 recap=True,
             )
-    del idx, st, qdev
-    gc.collect()
+
+        # ---- two-stage A/B at the geometry its byte model favors ----------
+        # (VERDICT r4 weak #4: find a recorded geometry where int4→int8
+        # two-stage WINS, or demote it.)  At 8M the scan streams ~8x the
+        # bytes of the 1M headline, so halving streamed bytes should matter.
+        if measured_p and remaining() >= 120:
+            probes = measured_p[-1]  # largest measured rung (p=8 normally)
+            cand2 = bench_ivf_two_stage(
+                idx, queries, exact8, timer, qdev, probes, fused_ok
+            )
+            if cand2 is not None:
+                # compare against the SAME-probes int8 rung (bytes-per-row
+                # is the variable under test, not the probe budget)
+                ref = rung_qps.get(probes, best8[1] if best8 else 0.0)
+                verdict = "WINS" if cand2[1] > ref else "loses"
+                log(
+                    f"# large-N two-stage vs int8 @ p={probes}: "
+                    f"{cand2[1]:.0f} vs {ref:.0f} qps ({verdict})",
+                    recap=True,
+                )
+
+    finally:
+        # free the multi-GB bank even when a rung OOMs — the r5
+        # rehearsal leaked it into every later phase.  st/qdev/qp_all
+        # alias bank/device arrays, so null every reference.
+        idx = st = qdev = qp_all = exact8 = None  # noqa: F841
+        gc.collect()
 
 
 def bench_scan_int8(x, queries, exact, timer) -> None:
@@ -1653,13 +1666,18 @@ def main() -> None:
     del exact_idx
     gc.collect()
 
+    ivf_box = [ivf] if ivf is not None else []
+
     def churn_phase():
-        # config-4: needs (and mutates) the live 1M IVF — last consumer,
-        # so it sits below every never-driver-recorded phase.
-        if ivf is None or not ivf._clustered:
-            log("# skip config-4 churn: ivf not clustered at this N")
+        # config-4: needs (and mutates) the live 1M IVF.  The large-N
+        # phase RELEASES that index to fit its 8.6GB bank, so churn only
+        # runs when it comes first in the budget — it sits last because
+        # r4 already put a churn number on the driver record and the 8M
+        # tier has none.
+        if not ivf_box or not ivf_box[0]._clustered:
+            log("# skip config-4 churn: live 1M ivf already released")
             return
-        bench_churn(ivf, x, exact_probes=8)
+        bench_churn(ivf_box[0], x, exact_probes=8)
 
     # Ordered by evidence gap (VERDICT r3 item 3): text search and the
     # config-3 pipeline have ZERO driver-recorded numbers after three
@@ -1678,10 +1696,10 @@ def main() -> None:
     # The 8M phase needs ~10.5GB HBM at its recluster peak, which
     # coexists with the ~1.4GB live 1M IVF on a 16GB chip.
     extras = [
-        ("large-N 8M ivf", 420, lambda: bench_large_n(x, queries, timer)),
-        ("graph rung + fused A/B", 200, lambda: bench_graph(x, queries, exact, timer)),
-        ("serving-path latency+qps", 200, bench_serving_latency),
-        ("config-3 ingest pipeline", 150, bench_ingest_pipeline),
+        ("graph rung + fused A/B", 150, lambda: bench_graph(x, queries, exact, timer)),
+        ("large-N 8M ivf", 400, lambda: bench_large_n(x, queries, timer, ivf_box)),
+        ("serving-path latency+qps", 180, bench_serving_latency),
+        ("config-3 ingest pipeline", 120, bench_ingest_pipeline),
         ("text search", 150, lambda: bench_text(timer)),
         ("config-4 churn+compact", 240, churn_phase),
         ("scan-int8", 150, lambda: bench_scan_int8(x, queries, exact, timer)),
@@ -1696,6 +1714,11 @@ def main() -> None:
             log(f"# {phase}: done in {time.time() - t0:.0f}s")
         except Exception as exc:  # noqa: BLE001 — headline already out
             log(f"# {phase} failed: {exc!r}")
+            # drop the failed phase's device allocations before the next
+            # phase (an OOM'd bank held via the exception chain starved
+            # every later phase in the r5 rehearsal)
+            exc = None
+            gc.collect()
     log(f"# bench done in {time.time() - T_START:.0f}s")
 
 
