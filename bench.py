@@ -22,8 +22,9 @@ driver parses the END of output):
   -> the headline JSON is printed HERE, as soon as a recall>=0.95
      number exists (watchdog safety)
   4. best-effort extras under the wall-clock budget, ordered by evidence
-     gap: text search, config-3 pipeline, graph rung + fused A/B,
-     serving latency, scan-int8, real-data (ivf-bf16 retired r5)
+     gap (r5): graph rung + fused A/B, large-N 8M ivf (releases the
+     live 1M index for HBM), serving latency+QPS, config-3 pipeline,
+     text search, churn, scan-int8, real-data (ivf-bf16 retired r5)
   5. EVERY exit path ends with a recap of the key measured lines and
      re-prints the headline JSON as the FINAL line of output — the
      driver parses the tail (emit_final)
