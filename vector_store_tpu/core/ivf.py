@@ -845,7 +845,13 @@ class IvfIndex:
     # -- mutation -----------------------------------------------------------
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
-        vectors = np.asarray(vectors, dtype=np.float32)
+        # device-resident blocks (jnp arrays) skip the host round-trip:
+        # `place` casts/quantizes on device, so a corpus that already
+        # lives in HBM (bench generators, device-side ETL) never crosses
+        # the link — on a tunneled backend the f32 host ship is the
+        # ingest bottleneck (~20 MB/s ≈ 6.5k vec/s at 768-d)
+        if not isinstance(vectors, jnp.ndarray):
+            vectors = np.asarray(vectors, dtype=np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
         n, d = vectors.shape
@@ -880,6 +886,8 @@ class IvfIndex:
         """One host->device ship per ingest block, in the cheapest dtype
         the bank's precision allows (bf16 for bf16/int8 banks — transfer
         is the ingest bottleneck, not the scatter)."""
+        if isinstance(blk, jnp.ndarray):
+            return blk  # already device-resident; place() casts on device
         if self.dtype != "float32":
             import ml_dtypes
 
